@@ -1,0 +1,325 @@
+"""Typed configuration system.
+
+Mirrors the reference's three-level composition (default engine config ->
+stage override -> model config; aot_plus/configs/default.py:5-9,
+aot_plus/tools/get_config.py:4-6) as frozen dataclasses composed by plain
+functions instead of dynamic imports and attribute mutation.
+
+All hyper-parameter values are taken from the reference's config tree so a
+user of the reference finds the same knobs with the same defaults.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model family/size/backbone selection + RMem feature flags.
+
+    Reference: aot_plus/configs/models/default.py:1-27 (AOT defaults),
+    default_deaot.py:4-18 (DeAOT defaults), r50_deaotl.py:4-41 (flagship).
+    """
+
+    model_name: str = 'aott'
+    vos: str = 'aot'                      # 'aot' | 'deaot'
+    engine: str = 'aotengine'             # 'aotengine' | 'deaotengine'
+    align_corners: bool = True
+    encoder: str = 'mobilenetv2'
+    encoder_dim: Tuple[int, ...] = (24, 32, 96, 1280)  # 4x, 8x, 16x, 16x
+    encoder_embedding_dim: int = 256
+    decoder_intermediate_lstt: bool = True
+    linear_q: bool = True
+    norm_inp: bool = True
+    freeze_bn: bool = True
+    freeze_backbone: bool = False
+    max_obj_num: int = 10
+    ignore_token: bool = True
+    self_heads: int = 8
+    att_heads: int = 8
+    lstt_num: int = 1
+    epsilon: float = 1e-5
+
+    train_long_term_mem_gap: int = 9999
+    test_long_term_mem_gap: int = 9999
+
+    # --- RMem feature flags (reference: configs/models/r50_deaotl.py:7-28) ---
+    former_mem_len: int = 1
+    latter_mem_len: int = 8
+    use_temporal_pe: bool = False
+    temporal_pe_slot_4: bool = True       # 4-slot learnable memory PE vs 2-slot
+    freeze_except_temporal_pe: bool = False
+    gru_memory: bool = False
+    freeze_except_gru: bool = False
+    time_encode: bool = False
+    time_encode_norm: bool = False
+    no_long_memory: bool = False
+    no_memory_gap: bool = False
+    reverse_infer: bool = False
+    reverse_loss: float = 0.4
+    use_mask: bool = False                # topdown-encoder mask conditioning
+    oracle: bool = False
+    var_loss_weight: Optional[float] = None  # topdown reconstruction loss
+
+    @property
+    def id_dim(self) -> int:
+        return self.max_obj_num + (2 if self.ignore_token else 1)
+
+    @property
+    def mem_bank_capacity(self) -> int:
+        """Static ring capacity: budget + the not-yet-restricted newest slot."""
+        return self.former_mem_len + self.latter_mem_len + 1
+
+
+@dataclass(frozen=True)
+class ExpConfig:
+    """Full experiment config (training + eval + data), composed with a model.
+
+    Reference: aot_plus/configs/default.py:5-151 plus stage overrides.
+    """
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    exp_name: str = 'default'
+    stage_name: str = 'default'
+
+    # --- data ---
+    datasets: Tuple[str, ...] = ('youtubevos',)
+    data_workers: int = 8
+    data_randomcrop: Tuple[int, int] = (465, 465)
+    data_randomflip: float = 0.5
+    data_max_crop_steps: int = 10
+    data_short_edge_len: int = 480
+    data_min_scale_factor: float = 0.7
+    data_max_scale_factor: float = 1.3
+    data_random_reverse_seq: bool = True
+    data_seq_len: int = 5
+    data_davis_repeat: int = 5
+    data_vost_repeat: int = 1
+    data_vost_ignore_thresh: float = 0.2
+    data_vost_all_frames: bool = False
+    data_vost_valid_frames: bool = False
+    data_random_gap_davis: int = 12
+    data_random_gap_ytb: int = 3
+    data_random_gap_vost: int = 3
+    data_random_gap_visor: int = 1
+    data_dynamic_merge_prob: float = 0.2
+    ignore_in_merge: bool = True
+    data_visor_repeat: int = 1
+    data_visor_ignore_thresh: float = 0.2
+
+    # --- pretrain ---
+    pretrain: bool = True
+    pretrain_full: bool = False
+    pretrain_model: str = ''
+
+    # --- training ---
+    train_total_steps: int = 100_000
+    train_start_step: int = 0
+    train_weight_decay: float = 0.07
+    train_weight_decay_exemption: Tuple[str, ...] = (
+        'absolute_pos_embed', 'relative_position_bias_table',
+        'relative_emb_v', 'conv_out')
+    train_lr: float = 2e-4
+    train_lr_min: float = 1e-5
+    train_lr_power: float = 0.9
+    train_lr_encoder_ratio: float = 0.1
+    train_lr_warm_up_ratio: float = 0.05
+    train_lr_cosine_decay: bool = False
+    train_aux_loss_weight: float = 1.0
+    train_aux_loss_ratio: float = 1.0
+    train_opt: str = 'adamw'
+    train_sgd_momentum: float = 0.9
+    train_batch_size: int = 16
+    train_log_step: int = 20
+    train_top_k_percent_pixels: float = 0.15
+    train_seq_training_freeze_params: Tuple[str, ...] = ('patch_wise_id_bank',)
+    train_seq_training_start_ratio: float = 0.5
+    train_hard_mining_ratio: float = 0.5
+    train_ema_ratio: float = 0.1
+    train_clip_grad_norm: float = 5.0
+    train_save_step: int = 500
+    train_max_keep_ckpt: int = 8
+    train_resume: bool = False
+    train_auto_resume: bool = True
+    train_encoder_freeze_at: int = 2
+    train_lstt_emb_dropout: float = 0.0
+    train_lstt_id_dropout: float = 0.0
+    train_lstt_droppath: float = 0.1
+    train_lstt_droppath_scaling: bool = False
+    train_lstt_droppath_lst: bool = False
+    train_lstt_lt_dropout: float = 0.0
+    train_lstt_st_dropout: float = 0.0
+    train_long_term_mem_gap: int = 9999
+    train_short_term_mem_skip: int = 1
+
+    # --- eval ---
+    test_dataset: str = 'youtubevos'
+    test_dataset_split: str = 'val'
+    test_ckpt_path: Optional[str] = None
+    test_ckpt_step: Optional[int] = None
+    test_flip: bool = False
+    test_multiscale: Tuple[float, ...] = (1.0,)
+    test_min_size: Optional[int] = None
+    test_max_size: float = 800 * 1.3
+    test_workers: int = 4
+    test_long_term_mem_gap: int = 9999
+    test_short_term_mem_skip: int = 1
+
+    # --- dirs ---
+    dir_data: str = './datasets'
+    dir_root: str = './results'
+
+    # --- precision / sharding (TPU-native; no reference equivalent) ---
+    compute_dtype: str = 'float32'        # 'float32' | 'bfloat16'
+    mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh (ICI)
+    mesh_axes: Tuple[str, ...] = ('data',)
+
+    def dir_result(self) -> str:
+        import os
+        return os.path.join(self.dir_root,
+                            f'{self.exp_name}_{self.model.model_name}',
+                            self.stage_name)
+
+
+def _aot_defaults(**kw) -> ModelConfig:
+    return ModelConfig(**kw)
+
+
+def _deaot_defaults(**kw) -> ModelConfig:
+    """Reference: configs/models/default_deaot.py:4-18."""
+    base = dict(vos='deaot', engine='deaotengine',
+                decoder_intermediate_lstt=False, self_heads=1, att_heads=1)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+_R50 = dict(encoder='resnet50', encoder_dim=(256, 512, 1024, 1024),
+            lstt_num=3, train_long_term_mem_gap=2, test_long_term_mem_gap=5)
+_RMEM = dict(former_mem_len=1, latter_mem_len=8, use_temporal_pe=True,
+             temporal_pe_slot_4=True)
+
+MODEL_REGISTRY: Dict[str, ModelConfig] = {
+    # AOT family (reference: configs/models/aott.py, aots.py, aotb.py, aotl.py)
+    'aott': _aot_defaults(model_name='aott'),
+    'aots': _aot_defaults(model_name='aots', lstt_num=2),
+    'aotb': _aot_defaults(model_name='aotb', lstt_num=3),
+    'aotl': _aot_defaults(model_name='aotl', lstt_num=3,
+                          train_long_term_mem_gap=2, test_long_term_mem_gap=5),
+    # ResNet/ResNeSt/Swin AOT-L (r50_aotl.py, r101_aotl.py, rs101_aotl.py,
+    # swinb_aotl.py). r50_aotl carries the RMem flags in the reference fork.
+    'r50_aotl': _aot_defaults(model_name='r50_aotl', **_R50, **_RMEM),
+    'r101_aotl': _aot_defaults(model_name='r101_aotl', **{
+        **_R50, 'encoder': 'resnet101'}),
+    'rs101_aotl': _aot_defaults(model_name='rs101_aotl', **{
+        **_R50, 'encoder': 'resnest101'}),
+    'swinb_aotl': _aot_defaults(model_name='swinb_aotl', encoder='swin_base',
+                                encoder_dim=(128, 256, 512, 512),
+                                align_corners=False, lstt_num=3,
+                                train_long_term_mem_gap=2,
+                                test_long_term_mem_gap=5),
+    'r50_topdown_aotl': _aot_defaults(model_name='r50_topdown_aotl', **{
+        **_R50, 'encoder': 'resnet50_topdown'}, var_loss_weight=0.01),
+    # DeAOT family (default_deaot.py, r50_deaotl.py)
+    'deaott': _deaot_defaults(model_name='deaott'),
+    'deaots': _deaot_defaults(model_name='deaots', lstt_num=2),
+    'deaotb': _deaot_defaults(model_name='deaotb', lstt_num=3),
+    'deaotl': _deaot_defaults(model_name='deaotl', lstt_num=3,
+                              train_long_term_mem_gap=2,
+                              test_long_term_mem_gap=5),
+    'r50_deaotl': _deaot_defaults(model_name='r50_deaotl', **_R50, **_RMEM),
+    'swinb_deaotl': _deaot_defaults(model_name='swinb_deaotl',
+                                    encoder='swin_base',
+                                    encoder_dim=(128, 256, 512, 512),
+                                    align_corners=False, lstt_num=3,
+                                    train_long_term_mem_gap=2,
+                                    test_long_term_mem_gap=5, **_RMEM),
+}
+
+
+def get_model_config(name: str, **overrides) -> ModelConfig:
+    cfg = MODEL_REGISTRY[name.lower()]
+    return replace(cfg, **overrides) if overrides else cfg
+
+
+def _stage_default(model: ModelConfig, exp_name: str) -> ExpConfig:
+    return ExpConfig(
+        model=model, exp_name=exp_name,
+        data_randomcrop=(465, 465) if model.align_corners else (464, 464),
+        train_lr_min=2e-5 if 'mobilenetv2' in model.encoder else 1e-5,
+        train_long_term_mem_gap=model.train_long_term_mem_gap,
+        test_long_term_mem_gap=model.test_long_term_mem_gap,
+    )
+
+
+def _stage_pre(model, exp):
+    # Reference: configs/pre.py
+    return replace(_stage_default(model, exp), stage_name='pre',
+                   datasets=('static',), data_dynamic_merge_prob=1.0,
+                   train_lr=4e-4, train_lr_min=2e-5, train_weight_decay=0.03,
+                   train_seq_training_start_ratio=1.0, train_aux_loss_ratio=0.1,
+                   model=replace(model, linear_q=True))
+
+
+def _stage_pre_vost(model, exp, stage_name='pre_vost', seq_len=15):
+    # Reference: configs/pre_vost.py, pre_vost_2.py (seq 17), pre_vost_25q.py
+    model = replace(model, linear_q=False, ignore_token=True)
+    gap = 1 if model.no_memory_gap else 4
+    return replace(_stage_default(model, exp), stage_name=stage_name,
+                   datasets=('vost',), train_total_steps=20_000,
+                   data_seq_len=seq_len, train_long_term_mem_gap=gap,
+                   train_auto_resume=False, pretrain_full=True)
+
+
+def _stage_pre_ytb(model, exp):
+    return replace(_stage_default(model, exp), stage_name='pre_ytb',
+                   data_seq_len=10, train_long_term_mem_gap=4,
+                   train_total_steps=80_000, pretrain_full=True,
+                   model=replace(model, linear_q=True))
+
+
+def _stage_pre_dav(model, exp):
+    return replace(_stage_default(model, exp), stage_name='pre_dav',
+                   datasets=('davis2017',), train_total_steps=50_000,
+                   pretrain_full=True)
+
+
+def _stage_pre_ytb_dav(model, exp):
+    return replace(_stage_default(model, exp), stage_name='pre_ytb_dav',
+                   datasets=('youtubevos', 'davis2017'), pretrain_full=True)
+
+
+def _stage_ytb(model, exp):
+    return replace(_stage_default(model, exp), stage_name='ytb')
+
+
+STAGE_REGISTRY = {
+    'default': lambda m, e: _stage_default(m, e),
+    'pre': _stage_pre,
+    'pre_vost': lambda m, e: _stage_pre_vost(m, e, 'pre_vost', 15),
+    'pre_vost_2': lambda m, e: _stage_pre_vost(m, e, 'pre_vost_2', 17),
+    'pre_vost_25q': lambda m, e: _stage_pre_vost(m, e, 'pre_vost_25q', 25),
+    'pre_ytb': _stage_pre_ytb,
+    'pre_dav': _stage_pre_dav,
+    'pre_ytb_dav': _stage_pre_ytb_dav,
+    'ytb': _stage_ytb,
+}
+
+
+def get_config(stage: str, exp_name: str = 'default',
+               model: str = 'aott', **overrides) -> ExpConfig:
+    """Compose stage + model the way tools/get_config.py:4-6 does by import."""
+    model_cfg = get_model_config(model)
+    cfg = STAGE_REGISTRY[stage](model_cfg, exp_name)
+    if overrides:
+        model_overrides = {k: v for k, v in overrides.items()
+                           if k in {f.name for f in
+                                    dataclasses.fields(ModelConfig)}}
+        exp_overrides = {k: v for k, v in overrides.items()
+                         if k not in model_overrides}
+        if model_overrides:
+            cfg = replace(cfg, model=replace(cfg.model, **model_overrides))
+        if exp_overrides:
+            cfg = replace(cfg, **exp_overrides)
+    return cfg

@@ -1,0 +1,369 @@
+"""Pure-functional per-video inference engine.
+
+Reference: aot_plus/networks/engines/aot_engine.py — AOTEngine holds mutable
+per-video state on an nn.Module (frame_step, memory lists, pos_emb) and
+AOTInferEngine spawns one engine per group of <= max_obj_num objects
+(:675-700). Here the whole per-video state is one jittable pytree
+(`EngineState`) and the object groups are folded into the batch axis, so N
+objects cost one batched pass; the public API mirrors the reference loop:
+
+    state  = engine.add_reference_frame(params, state0, img, mask, obj_nums)
+    logits, state = engine.propagate(params, state, img)
+    state  = engine.update_memory(params, state, pred_prob_or_mask)
+
+All three are jit-compiled once per input resolution.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from rmem_ocu_tpu.config import ExpConfig, ModelConfig
+from rmem_ocu_tpu.memory import bank as membank
+from rmem_ocu_tpu.models.vos_model import VOSModel
+from rmem_ocu_tpu.ops.masks import one_hot_mask
+from rmem_ocu_tpu.ops.position import interpolated_memory_pe
+from rmem_ocu_tpu.ops.resize import interpolate_bilinear
+
+UNUSED_ID_LOGIT = -1e10
+
+
+@flax.struct.dataclass
+class EngineState:
+    bank: membank.MemoryBank
+    short: membank.ShortTermMemory
+    # pending per-layer memories captured at the last propagation, stacked
+    # over layers [L, B, HW, C] (reference keeps lstt_curr_memories /
+    # lstt_short_memories on the module, transformer.py:261-265)
+    pending_long_k: jnp.ndarray
+    pending_long_v: jnp.ndarray
+    pending_short_k: jnp.ndarray
+    pending_short_v: jnp.ndarray
+    pending_id_v: Optional[jnp.ndarray]        # DeAOT curr_id_v (layer>0)
+    pending_mass: Optional[jnp.ndarray]        # [B, HW, T_cap] eviction mass
+    pred_logits_4x: jnp.ndarray                # [B, H4, W4, O+1]
+    frame_step: jnp.ndarray                    # scalar int32
+    last_mem_step: jnp.ndarray                 # scalar int32
+    obj_nums: jnp.ndarray                      # [B]
+    # GRU-compression hidden states (AOT gru_memory), else None
+    gru_hidden_k: Optional[jnp.ndarray]
+    gru_hidden_v: Optional[jnp.ndarray]
+
+
+def _mask_unused_ids(logits, obj_nums):
+    """Set logits of ids > obj_num to -1e10
+    (reference engines/aot_engine.py:450-453)."""
+    c = logits.shape[-1]
+    keep = jnp.arange(c)[None] <= obj_nums[:, None]      # [B, C]
+    return jnp.where(keep[:, None, None, :], logits, UNUSED_ID_LOGIT)
+
+
+class InferEngine:
+    """Thin stateless wrapper binding (model, cfg) to jitted pure fns."""
+
+    def __init__(self, model: VOSModel, exp_cfg: ExpConfig,
+                 long_term_mem_gap: Optional[int] = None,
+                 short_term_mem_skip: Optional[int] = None,
+                 training: bool = False):
+        self.model = model
+        self.cfg: ModelConfig = model.cfg
+        self.exp = exp_cfg
+        self.gap = (long_term_mem_gap if long_term_mem_gap is not None
+                    else exp_cfg.test_long_term_mem_gap)
+        self.skip = (short_term_mem_skip if short_term_mem_skip is not None
+                     else exp_cfg.test_short_term_mem_skip)
+        self.training = training
+        # jit caches keyed by input shape
+        self._jit_add_ref = jax.jit(self._add_reference_frame)
+        self._jit_propagate = jax.jit(self._propagate)
+        self._jit_update = jax.jit(self._update_memory)
+
+    # ------------------------------------------------------------------ #
+    # dims
+    def _dims(self):
+        cfg = self.cfg
+        d = cfg.encoder_embedding_dim
+        if cfg.vos == 'deaot':
+            d_att = d // 2 if cfg.att_heads == 1 else d // cfg.att_heads
+            ck = d_att * cfg.att_heads
+            cv = int(d * 2.0)  # expand_d_model
+            with_id = True
+        else:
+            ck, cv, with_id = d, d, False
+        return ck, cv, with_id
+
+    def init_state(self, batch: int, size_2d: Tuple[int, int],
+                   dtype=jnp.float32) -> EngineState:
+        cfg = self.cfg
+        hw = size_2d[0] * size_2d[1]
+        ck, cv, with_id = self._dims()
+        L = cfg.lstt_num
+        cap = cfg.mem_bank_capacity
+        zeros = lambda c: jnp.zeros((L, batch, hw, c), dtype)
+        h4 = 4 * size_2d[0] - 3 if cfg.align_corners else 4 * size_2d[0]
+        w4 = 4 * size_2d[1] - 3 if cfg.align_corners else 4 * size_2d[1]
+        gru = cfg.gru_memory and cfg.vos == 'aot'
+        return EngineState(
+            bank=membank.init_bank(L, batch, cap, hw, ck, cv, with_id, dtype),
+            short=membank.init_short_term(L, batch, self.skip, hw, ck, cv,
+                                          with_id, dtype),
+            pending_long_k=zeros(ck), pending_long_v=zeros(
+                cv if with_id else cv),
+            pending_short_k=zeros(ck), pending_short_v=zeros(cv),
+            pending_id_v=zeros(cfg.encoder_embedding_dim) if with_id else None,
+            pending_mass=jnp.zeros((batch, hw, cap), jnp.float32),
+            pred_logits_4x=jnp.zeros((batch, h4, w4, cfg.max_obj_num + 1),
+                                     dtype),
+            frame_step=jnp.zeros((), jnp.int32),
+            last_mem_step=-jnp.ones((), jnp.int32),
+            obj_nums=jnp.ones((batch,), jnp.int32),
+            gru_hidden_k=zeros(ck) if gru else None,
+            gru_hidden_v=zeros(cv) if gru else None,
+        )
+
+    # ------------------------------------------------------------------ #
+    def _apply(self, params, method, *args, **kw):
+        return self.model.apply(params, *args, method=method, **kw)
+
+    def _encode(self, params, img):
+        xs = self._apply(params, VOSModel.encode_image, img)
+        return xs
+
+    def _id_emb(self, params, one_hot, ignore):
+        """one-hot [B,H,W,O+1] + ignore [B,H,W,1] -> id tokens [B,HW,d].
+        Reference: engines/aot_engine.py:208-232 (no id shuffle at eval)."""
+        if self.cfg.ignore_token:
+            non_ignored = (ignore == 0).astype(one_hot.dtype)
+            one_hot = one_hot.at[..., 0:1].multiply(non_ignored)
+            one_hot = jnp.concatenate([one_hot, ignore], axis=-1)
+        return self._apply(params, VOSModel.get_id_emb, one_hot)
+
+    def _temporal_pe(self, params, length):
+        """(cur_pe [C], mem_pe [1, T_cap, C]) or None, interpolated to the
+        live memory length (reference transformer.py:594-629)."""
+        if not self.cfg.use_temporal_pe:
+            return None
+        cur, mem = self._apply(params, VOSModel.temporal_pe)
+        cap = self.cfg.mem_bank_capacity
+        mem_i = jax.vmap(lambda l: interpolated_memory_pe(mem, l, cap))(
+            length)                                      # [B, T_cap, C]
+        return cur[0], mem_i
+
+    # ------------------------------------------------------------------ #
+    def _add_reference_frame(self, params, state: EngineState, img, mask,
+                             obj_nums):
+        """img: [B,H,W,3]; mask: int [B,H,W]; obj_nums: [B].
+        Reference: engines/aot_engine.py:241-325."""
+        cfg = self.cfg
+        xs = self._encode(params, img)
+        b, h, w, _ = xs[-1].shape
+        size_2d = (h, w)
+
+        one_hot, ignore = one_hot_mask(mask, cfg.max_obj_num)
+        id_emb = self._id_emb(params, one_hot, ignore)
+        self_pos = self._apply(params, VOSModel.get_pos_emb, size_2d)
+        tpe = self._temporal_pe(params,
+                                jnp.ones((b,), jnp.int32))  # ref: T = 1
+        if tpe is not None:
+            tpe = (tpe[0], tpe[1][:, :1])  # single virtual slot
+
+        inters, mems, _ = self._apply(
+            params, VOSModel.lstt_forward, xs[-1], None, None, id_emb,
+            self_pos, size_2d, temporal_pe=tpe)
+        logits = self._apply(params, VOSModel.decode_id_logits, inters, xs)
+        logits = _mask_unused_ids(logits, obj_nums)
+
+        # write reference frame into long + short memory
+        # (reference: init_LSTT_memory, aot_engine.py:321-323)
+        stack = lambda key: jnp.stack([m[key] for m in mems], axis=0)
+        if cfg.vos == 'deaot':
+            long_k = stack('curr_k')
+            long_v = stack('curr_v')
+            long_id_v = stack('global_id_v_fused')
+            short_k, short_v, short_id_v = long_k, long_v, long_id_v
+        else:
+            long_k = stack('curr_k')
+            long_v = stack('global_v_fused')
+            long_id_v = None
+            short_k, short_v, short_id_v = (stack('local_k'),
+                                            stack('local_v'), None)
+        bank = membank.append_frame(state.bank, long_k, long_v, long_id_v,
+                                    state.frame_step)
+        short = membank.push_short_term(state.short, short_k, short_v,
+                                        short_id_v)
+        return state.replace(
+            bank=bank, short=short, pred_logits_4x=logits,
+            last_mem_step=state.frame_step, obj_nums=obj_nums)
+
+    def add_reference_frame(self, params, state, img, mask, obj_nums):
+        return self._jit_add_ref(params, state, img, mask, obj_nums)
+
+    # ------------------------------------------------------------------ #
+    def _propagate(self, params, state: EngineState, img):
+        """One frame forward against the memory.
+        Reference: engines/aot_engine.py:398-436."""
+        cfg = self.cfg
+        state = state.replace(frame_step=state.frame_step + 1)
+        xs = self._encode(params, img)
+        b, h, w, _ = xs[-1].shape
+        size_2d = (h, w)
+        self_pos = self._apply(params, VOSModel.get_pos_emb, size_2d)
+        tpe = self._temporal_pe(params, state.bank.length)
+
+        if cfg.vos == 'deaot':
+            long_mem = (state.bank.k, state.bank.v, state.bank.id_v,
+                        state.bank.length)
+            short_mem = state.short.read()
+        else:
+            long_mem = (state.bank.k, state.bank.v, state.bank.length)
+            k0, v0, _ = state.short.read()
+            short_mem = (k0, v0)
+
+        need_mass = not self.training
+        inters, mems, mass = self._apply(
+            params, VOSModel.lstt_forward, xs[-1], long_mem, short_mem,
+            None, self_pos, size_2d, temporal_pe=tpe, need_mass=need_mass)
+        logits = self._apply(params, VOSModel.decode_id_logits, inters, xs)
+        logits = _mask_unused_ids(logits, state.obj_nums)
+
+        stack = lambda key: jnp.stack(
+            [m[key] for m in mems], axis=0)
+        pend = dict(
+            pending_long_k=stack('curr_k'),
+            pending_long_v=stack('curr_v'),
+            pending_short_k=stack('curr_k' if cfg.vos == 'deaot'
+                                  else 'local_k'),
+            pending_short_v=stack('curr_v' if cfg.vos == 'deaot'
+                                  else 'local_v'),
+        )
+        if cfg.vos == 'deaot':
+            # layer-0 curr_id_v is None (id branch starts empty); store zeros
+            # and let fuse_value_id's layer-0 path ignore it.
+            ids = [m['curr_id_v'] if m['curr_id_v'] is not None
+                   else jnp.zeros_like(mems[0]['curr_v'][..., :cfg.encoder_embedding_dim])
+                   for m in mems]
+            pend['pending_id_v'] = jnp.stack(ids, axis=0)
+        if need_mass:
+            pend['pending_mass'] = mass
+        state = state.replace(pred_logits_4x=logits, **pend)
+        return logits, state
+
+    def propagate(self, params, state, img):
+        return self._jit_propagate(params, state, img)
+
+    # ------------------------------------------------------------------ #
+    def _update_memory(self, params, state: EngineState, mask):
+        """mask: int [B, H, W] predicted (or [B, H, W, O+1] probabilities).
+        Reference: engines/aot_engine.py:327-369 + transformer.py:269-436."""
+        cfg = self.cfg
+        hw = state.bank.k.shape[3]
+        if mask.ndim == 3 or mask.shape[-1] == 1:
+            one_hot, ignore = one_hot_mask(mask, cfg.max_obj_num)
+        else:
+            one_hot, ignore = mask, jnp.zeros_like(mask[..., :1])
+        id_emb = self._id_emb(params, one_hot, ignore)
+
+        # fuse pending memories with the id embedding
+        per_layer = []
+        L = cfg.lstt_num
+        for idx in range(L):
+            m = dict(curr_k=state.pending_long_k[idx],
+                     curr_v=state.pending_long_v[idx],
+                     local_k=state.pending_short_k[idx],
+                     local_v=state.pending_short_v[idx])
+            if cfg.vos == 'deaot':
+                m['curr_id_v'] = (None if idx == 0
+                                  else state.pending_id_v[idx])
+            per_layer.append(m)
+        fused = self._apply(params, VOSModel.fuse_memory_values, per_layer,
+                            id_emb)
+        stack = lambda key: jnp.stack([f[key] for f in fused], axis=0)
+
+        short = membank.push_short_term(
+            state.short, stack('short_k'), stack('short_v'),
+            stack('short_id_v') if cfg.vos == 'deaot' else None)
+
+        if cfg.no_long_memory:
+            return state.replace(short=short)
+
+        # long-term write every `gap` frames (reference aot_engine.py:338-343)
+        do_long = state.frame_step - state.last_mem_step >= self.gap
+        size_2d = self._enc_size_2d(state)
+
+        def long_update(operand):
+            bank, gh_k, gh_v = operand
+            bank = membank.append_frame(
+                bank, stack('long_k'), stack('long_v'),
+                stack('long_id_v') if cfg.vos == 'deaot' else None,
+                state.frame_step)
+            over = bank.length > (cfg.former_mem_len + cfg.latter_mem_len)
+
+            if self.training:
+                drop_idx = membank.default_drop_index(
+                    bank, cfg.former_mem_len, cfg.gru_memory)
+            else:
+                # GPM scores on every long-memory update; LSTT only once over
+                # budget (reference transformer.py:880-964 has no early
+                # return, :332-334 does)
+                score_now = (jnp.ones_like(over) if cfg.vos == 'deaot'
+                             else over)
+                fg = self._foreground_proba(state, size_2d)
+                drop_scored, bank = membank.eviction_scores_and_update(
+                    bank, state.pending_mass, fg_proba=fg,
+                    gru_memory=cfg.gru_memory, enabled=score_now)
+                drop_idx = drop_scored
+
+            compressed = None
+            if cfg.gru_memory and cfg.vos == 'aot':
+                # compress the to-be-evicted slot into slot 1 via ConvGRU
+                take = lambda arr: jax.vmap(lambda a, d: a[:, d],
+                                            in_axes=(1, 0), out_axes=1)(
+                    arr, drop_idx)
+                (ck_, cv_), (gh_k, gh_v) = self._apply(
+                    params, VOSModel.compress_evicted_slots, take(bank.k),
+                    take(bank.v), gh_k, gh_v, size_2d)
+                compressed = (ck_, cv_, None)
+
+            bank = membank.evict_frame(bank, drop_idx, enabled=over,
+                                       compressed_kv=compressed)
+            return bank, gh_k, gh_v
+
+        operand = (state.bank, state.gru_hidden_k, state.gru_hidden_v)
+        bank, gh_k, gh_v = jax.lax.cond(
+            do_long, long_update, lambda o: o, operand)
+        last_mem = jnp.where(do_long, state.frame_step, state.last_mem_step)
+        return state.replace(bank=bank, short=short, last_mem_step=last_mem,
+                             gru_hidden_k=gh_k, gru_hidden_v=gh_v)
+
+    def _enc_size_2d(self, state: EngineState) -> Tuple[int, int]:
+        """Recover the encoder grid from the stored 4x logits shape."""
+        h4, w4 = state.pred_logits_4x.shape[1:3]
+        if self.cfg.align_corners:
+            return (h4 + 3) // 4, (w4 + 3) // 4
+        return h4 // 4, w4 // 4
+
+    def _foreground_proba(self, state: EngineState, size_2d):
+        """1 - P(bg) at encoder resolution, flattened to [B, HW]
+        (reference aot_engine.py:355-362; always align_corners=True there)."""
+        logits = interpolate_bilinear(state.pred_logits_4x, size_2d, True)
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        fg = 1.0 - prob[..., 0]
+        return fg.reshape(fg.shape[0], -1)
+
+    def update_memory(self, params, state, mask):
+        return self._jit_update(params, state, mask)
+
+    # ------------------------------------------------------------------ #
+    def predict_mask(self, logits_4x, output_size, return_prob: bool = False):
+        """Upsample 4x logits to output_size and argmax
+        (reference aot_engine.py:467-483)."""
+        logits = interpolate_bilinear(logits_4x, output_size,
+                                      self.cfg.align_corners)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if return_prob:
+            return pred, jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return pred

@@ -1,0 +1,290 @@
+"""Static-capacity long-term memory bank + RMem eviction scoring.
+
+The reference grows python lists of [T, HW, B, C] tensors with torch.cat and
+drops frames by slicing (aot_plus/networks/layers/transformer.py:306-436).
+XLA needs static shapes, so the bank here is a fixed-capacity, *ordered* ring:
+
+- slot i always holds the i-th oldest live frame (so temporal-PE
+  interpolation and former/latter semantics match the reference exactly),
+- append writes at slot `length` (dynamic_update_slice),
+- evict(d) shifts slots d+1.. left by one (a static gather) — ~10 slots of
+  a few MB, a negligible copy that keeps everything jit-compatible,
+- the eviction score state (attention-usage moving mean + UCB visit counts,
+  reference transformer.py:339-411) lives in per-slot arrays that shift with
+  the data. The reference keys these by frame index in python dicts; since a
+  frame index never re-enters the bank after eviction, per-slot arrays are
+  exactly equivalent.
+
+All arrays carry a leading layer axis L and a batch axis B so one bank serves
+the whole LSTT/GPM stack and batched multi-stream serving.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class MemoryBank:
+    k: jnp.ndarray                      # [L, B, T_cap, HW, Ck]
+    v: jnp.ndarray                      # [L, B, T_cap, HW, Cv]
+    id_v: Optional[jnp.ndarray]         # [L, B, T_cap, HW, Cv] (DeAOT) | None
+    length: jnp.ndarray                 # [B] int32 live length
+    frame_ids: jnp.ndarray              # [B, T_cap] int32 (-1 = empty)
+    attn_ema: jnp.ndarray               # [B, T_cap] f32 usage moving-mean
+    ema_present: jnp.ndarray            # [B, T_cap] bool (slot has an EMA yet)
+    visits: jnp.ndarray                 # [B, T_cap] f32 UCB visit counts
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+
+@flax.struct.dataclass
+class ShortTermMemory:
+    """Sliding window of the last `skip` frames' K/V; the *oldest* entry in
+    the window is what attention reads (reference transformer.py:293-299)."""
+    k: jnp.ndarray                      # [L, B, S, HW, Ck]
+    v: jnp.ndarray                      # [L, B, S, HW, Cv]
+    id_v: Optional[jnp.ndarray]
+    count: jnp.ndarray                  # [B] int32, frames pushed so far
+
+    def read(self):
+        """Oldest live entry = slot 0 once the window is full; before that
+        the list is shorter than `skip`, and slot 0 is still the oldest."""
+        return (self.k[:, :, 0], self.v[:, :, 0],
+                None if self.id_v is None else self.id_v[:, :, 0])
+
+
+def init_bank(num_layers: int, batch: int, capacity: int, hw: int,
+              ck: int, cv: int, with_id: bool,
+              dtype=jnp.float32) -> MemoryBank:
+    zeros = lambda c: jnp.zeros((num_layers, batch, capacity, hw, c), dtype)
+    return MemoryBank(
+        k=zeros(ck), v=zeros(cv), id_v=zeros(cv) if with_id else None,
+        length=jnp.zeros((batch,), jnp.int32),
+        frame_ids=jnp.full((batch, capacity), -1, jnp.int32),
+        attn_ema=jnp.zeros((batch, capacity), jnp.float32),
+        ema_present=jnp.zeros((batch, capacity), jnp.bool_),
+        visits=jnp.zeros((batch, capacity), jnp.float32),
+    )
+
+
+def _write_slot(bank_arr, new, idx):
+    """bank_arr: [L, B, T, HW, C]; new: [L, B, HW, C]; idx: [B]."""
+    def per_batch(arr_b, new_b, i):
+        # arr_b: [L, T, HW, C]
+        return jax.lax.dynamic_update_slice_in_dim(arr_b, new_b[:, None],
+                                                   i, axis=1)
+    return jax.vmap(per_batch, in_axes=(1, 1, 0), out_axes=1)(
+        bank_arr, new, idx)
+
+
+def append_frame(bank: MemoryBank, new_k, new_v, new_id_v,
+                 frame_idx) -> MemoryBank:
+    """Write the new frame at slot `length`, bump length.
+
+    new_k/new_v/new_id_v: [L, B, HW, C]; frame_idx: scalar or [B] int32.
+    Reference: transformer.py:306-322 (torch.cat on dim 0).
+    """
+    frame_idx = jnp.broadcast_to(jnp.asarray(frame_idx, jnp.int32),
+                                 bank.length.shape)
+    idx = jnp.minimum(bank.length, bank.capacity - 1)
+    new_fields = dict(
+        k=_write_slot(bank.k, new_k, idx),
+        v=_write_slot(bank.v, new_v, idx),
+        length=jnp.minimum(bank.length + 1, bank.capacity),
+        frame_ids=jax.vmap(lambda f, i, fi: f.at[i].set(fi))(
+            bank.frame_ids, idx, frame_idx),
+        attn_ema=jax.vmap(lambda a, i: a.at[i].set(0.0))(bank.attn_ema, idx),
+        ema_present=jax.vmap(lambda a, i: a.at[i].set(False))(
+            bank.ema_present, idx),
+        visits=jax.vmap(lambda a, i: a.at[i].set(0.0))(bank.visits, idx),
+    )
+    if bank.id_v is not None:
+        new_fields['id_v'] = _write_slot(bank.id_v, new_id_v, idx)
+    return bank.replace(**new_fields)
+
+
+def _shift_gather(arr, drop_idx, enabled):
+    """Remove slot drop_idx by shifting the tail left (per batch, no-op where
+    not enabled). arr: [L, B, T, ...] or [B, T, ...]; drop_idx/enabled: [B]."""
+    # batch axis is 1 for [L, B, T, ...], 0 for [B, T]
+    cap = arr.shape[2] if arr.ndim >= 3 else arr.shape[1]
+
+    def per_batch(a, d, en):
+        # a: [..., T, ...] with T at axis (1 if from 5D else 0)
+        t_ax = 1 if a.ndim >= 3 else 0
+        t = jnp.arange(cap)
+        shift = ((t >= d) & en).astype(jnp.int32)
+        idx = jnp.minimum(t + shift, cap - 1)
+        return jnp.take(a, idx, axis=t_ax)
+
+    if arr.ndim >= 3:
+        return jax.vmap(per_batch, in_axes=(1, 0, 0), out_axes=1)(
+            arr, drop_idx, enabled)
+    return jax.vmap(per_batch, in_axes=(0, 0, 0), out_axes=0)(
+        arr, drop_idx, enabled)
+
+
+def evict_frame(bank: MemoryBank, drop_idx, enabled=None,
+                compressed_kv=None) -> MemoryBank:
+    """Drop slot drop_idx ([B] int32), preserving order; per-batch no-op
+    where `enabled` ([B] bool) is False.
+
+    compressed_kv: optional (k1, v1, id_v1) each [L, B, HW, C] written into
+    slot 1 after the shift (ConvGRU compression, reference
+    transformer.py:420-430 writes the GRU output over slot 1).
+    Reference: transformer.py:432-434 (torch.cat of the two halves).
+    """
+    if enabled is None:
+        enabled = jnp.ones_like(drop_idx, dtype=bool)
+    new_fields = dict(
+        k=_shift_gather(bank.k, drop_idx, enabled),
+        v=_shift_gather(bank.v, drop_idx, enabled),
+        length=jnp.where(enabled, jnp.maximum(bank.length - 1, 0),
+                         bank.length),
+        frame_ids=_shift_gather(bank.frame_ids, drop_idx, enabled),
+        attn_ema=_shift_gather(bank.attn_ema, drop_idx, enabled),
+        ema_present=_shift_gather(bank.ema_present, drop_idx, enabled),
+        visits=_shift_gather(bank.visits, drop_idx, enabled),
+    )
+    if bank.id_v is not None:
+        new_fields['id_v'] = _shift_gather(bank.id_v, drop_idx, enabled)
+    bank = bank.replace(**new_fields)
+    if compressed_kv is not None:
+        k1, v1, idv1 = compressed_kv
+        ones = jnp.ones_like(drop_idx)
+        k_new = _write_slot(bank.k, k1, ones)
+        v_new = _write_slot(bank.v, v1, ones)
+        sel = enabled.reshape(1, -1, 1, 1, 1)
+        bank = bank.replace(k=jnp.where(sel, k_new, bank.k),
+                            v=jnp.where(sel, v_new, bank.v))
+    return bank
+
+
+def default_drop_index(bank: MemoryBank, former_len: int,
+                       gru_memory: bool = False):
+    """Training-time drop slot (no attention scoring):
+    reference transformer.py:335-337."""
+    d = former_len + (1 if gru_memory else 0)
+    return jnp.full_like(bank.length, d)
+
+
+def eviction_scores_and_update(bank: MemoryBank, frame_mass,
+                               fg_proba=None, gru_memory: bool = False,
+                               enabled=None,
+                               moving_mean_factor: float = 0.8,
+                               ucb_add: float = 8.0, ucb_mul: float = 1.5):
+    """RMem attention-usage + UCB eviction (reference transformer.py:339-411).
+
+    frame_mass: [B, HWq, T_cap] — per-query attention mass each memory slot
+    received at the *last propagation* (so slots >= length-1, in particular
+    the just-appended newest frame, have zero mass and are excluded).
+    fg_proba: optional [B, HWq] foreground probability weighting.
+
+    Returns (drop_idx [B] int32, bank with updated ema/visit state). The
+    caller decides whether to actually evict (budget exceeded). Where
+    `enabled` ([B] bool) is False the state is untouched and the default
+    drop index is returned.
+    """
+    cap = bank.capacity
+    if enabled is None:
+        enabled = jnp.ones_like(bank.length, dtype=bool)
+    t = jnp.arange(cap)[None]                            # [1, T]
+    # number of slots that had attention mass = live length before append
+    n_scored = jnp.maximum(bank.length - 1, 0)           # [B]
+    scored = t < n_scored[:, None]                       # [B, T]
+    live = t < bank.length[:, None]
+
+    w = frame_mass
+    if fg_proba is not None:
+        w = w * fg_proba[..., None]
+    w = jnp.sum(w, axis=1)                               # [B, T]
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+
+    # moving mean keyed by slot (reference: dict keyed by frame idx)
+    ema = jnp.where(bank.ema_present & scored,
+                    (1 - moving_mean_factor) * bank.attn_ema
+                    + moving_mean_factor * w,
+                    w)
+    ema = jnp.where(scored, ema, bank.attn_ema)
+    ema_present = bank.ema_present | scored
+
+    # UCB visit counts: +1 for every live slot (reference :378-388)
+    visits = jnp.where(live, bank.visits + 1.0, bank.visits)
+
+    # bonus over slots [0, length-1) — the newest slot is excluded
+    # (reference builds frame_times over long_memories_indexes[:-1], :389-392)
+    n = visits
+    # the former slot's count is pinned to the candidate count (:394-396)
+    pinned = n_scored.astype(jnp.float32)
+    n = n.at[:, 0].set(pinned)
+    if gru_memory:
+        n = n.at[:, 1].set(jnp.where(n_scored > 1, pinned, n[:, 1]))
+    n_sum = jnp.sum(jnp.where(scored, n, 0.0), axis=-1, keepdims=True)
+    bonus = ucb_mul * jnp.sqrt(jnp.log(jnp.maximum(n_sum, 1.0))
+                               / (n + ucb_add))
+    score = ema + bonus
+
+    # argmin over candidate slots: former (and GRU slot 1) protected, newest
+    # (no mass) excluded via `scored`
+    ignore_former = 2 if gru_memory else 1
+    candidate = scored & (t >= ignore_former)
+    masked = jnp.where(candidate, score, jnp.inf)
+    drop_idx = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+    # if there are no candidates (or scoring disabled) fall back to the
+    # default drop slot
+    has_candidate = jnp.any(candidate, axis=-1) & enabled
+    drop_idx = jnp.where(has_candidate, drop_idx,
+                         ignore_former * jnp.ones_like(drop_idx))
+
+    en = enabled[:, None]
+    return drop_idx, bank.replace(
+        attn_ema=jnp.where(en, ema, bank.attn_ema),
+        ema_present=jnp.where(en, ema_present, bank.ema_present),
+        visits=jnp.where(en, visits, bank.visits))
+
+
+def push_short_term(short: ShortTermMemory, new_k, new_v,
+                    new_id_v) -> ShortTermMemory:
+    """Append to the sliding window, dropping the oldest if full.
+
+    Reference: transformer.py:293-299 (python list slicing [-skip:]).
+    """
+    s = short.k.shape[2]
+    if s == 1:
+        new_fields = dict(k=new_k[:, :, None], v=new_v[:, :, None],
+                          count=short.count + 1)
+        if short.id_v is not None:
+            new_fields['id_v'] = new_id_v[:, :, None]
+        return short.replace(**new_fields)
+
+    def push(arr, new):
+        # while count < s the window grows: write at `count`;
+        # afterwards shift left and write at the end.
+        def per_batch(a, n, c):
+            shifted = jnp.concatenate([a[:, 1:], n[:, None]], axis=1)
+            grown = jax.lax.dynamic_update_slice_in_dim(
+                a, n[:, None], jnp.minimum(c, s - 1), axis=1)
+            return jnp.where(c >= s, shifted, grown)
+        return jax.vmap(per_batch, in_axes=(1, 1, 0), out_axes=1)(
+            arr, new, short.count)
+
+    new_fields = dict(k=push(short.k, new_k), v=push(short.v, new_v),
+                      count=short.count + 1)
+    if short.id_v is not None:
+        new_fields['id_v'] = push(short.id_v, new_id_v)
+    return short.replace(**new_fields)
+
+
+def init_short_term(num_layers: int, batch: int, skip: int, hw: int,
+                    ck: int, cv: int, with_id: bool,
+                    dtype=jnp.float32) -> ShortTermMemory:
+    zeros = lambda c: jnp.zeros((num_layers, batch, skip, hw, c), dtype)
+    return ShortTermMemory(k=zeros(ck), v=zeros(cv),
+                           id_v=zeros(cv) if with_id else None,
+                           count=jnp.zeros((batch,), jnp.int32))

@@ -1,0 +1,77 @@
+"""ResNet-50/101 backbone, output-stride 16, stage-5 dropped.
+
+Reference: aot_plus/networks/encoders/resnet.py:10-213. NHWC, frozen BN.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rmem_ocu_tpu.ops.layers import FrozenBatchNorm
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
+        out = FrozenBatchNorm(self.planes, name='bn1')(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride,
+                      kernel_dilation=self.dilation, padding=self.dilation,
+                      use_bias=False, name='conv2')(out)
+        out = FrozenBatchNorm(self.planes, name='bn2')(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      name='conv3')(out)
+        out = FrozenBatchNorm(self.planes * 4, name='bn3')(out)
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
+                               use_bias=False, name='downsample_conv')(x)
+            residual = FrozenBatchNorm(self.planes * 4,
+                                       name='downsample_bn')(residual)
+        return nn.relu(out + residual)
+
+
+class ResNetEncoder(nn.Module):
+    layers: Tuple[int, int, int] = (3, 4, 6)   # r50; r101 = (3, 4, 23)
+    output_stride: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, H, W, 3] -> [4x(256), 8x(512), 16x(1024), 16x(1024)]."""
+        strides = (1, 2, 2)
+        dilations = (1, 1, 1) if self.output_stride == 16 else (1, 2, 4)
+
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    name='conv1')(x)
+        x = FrozenBatchNorm(64, name='bn1')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        xs = []
+        inplanes = 64
+        for stage_idx, (planes, blocks) in enumerate(
+                zip((64, 128, 256), self.layers)):
+            stride = strides[stage_idx]
+            dilation = dilations[stage_idx]
+            for block_idx in range(blocks):
+                first = block_idx == 0
+                x = Bottleneck(
+                    planes,
+                    stride=stride if first else 1,
+                    dilation=max(dilation // 2, 1) if first else dilation,
+                    has_downsample=first and (
+                        stride != 1 or inplanes != planes * 4),
+                    name=f'layer{stage_idx + 1}_{block_idx}')(x)
+                inplanes = planes * 4
+            xs.append(x)
+        xs.append(xs[-1])  # stage 5 dropped, 16x duplicated
+        return xs

@@ -1,0 +1,191 @@
+"""AOT / DeAOT model facade.
+
+Reference: aot_plus/networks/models/aot.py:12-205 (AOT) and deaot.py:10-69
+(DeAOT). One flax module covers both families; the engine drives it through
+`apply(..., method=...)` calls, mirroring the reference's method surface
+(encode_image, get_id_emb, LSTT_forward, decode_id_logits) but with all
+memory state *outside* the module as an explicit pytree.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rmem_ocu_tpu.config import ModelConfig
+from rmem_ocu_tpu.models.decoders.fpn import FPNSegmentationHead
+from rmem_ocu_tpu.models.encoders import build_encoder
+from rmem_ocu_tpu.models.gpm import GPMStack
+from rmem_ocu_tpu.models.lstt import LSTTStack
+from rmem_ocu_tpu.ops.layers import EPS, tokens_from_2d
+from rmem_ocu_tpu.ops.position import sine_position_embedding
+
+
+class VOSModel(nn.Module):
+    cfg: ModelConfig
+
+    @property
+    def is_deaot(self) -> bool:
+        return self.cfg.vos == 'deaot'
+
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.encoder_embedding_dim
+        self.encoder = build_encoder(cfg.encoder, frozen_bn=cfg.freeze_bn)
+        self.encoder_projector = nn.Conv(d, (1, 1), name='encoder_projector')
+
+        if self.is_deaot:
+            self.lstt = GPMStack(
+                num_layers=cfg.lstt_num, d_model=d,
+                self_heads=cfg.self_heads, att_heads=cfg.att_heads,
+                intermediate_norm=cfg.decoder_intermediate_lstt,
+                name='lstt')
+            decoder_indim = (d * (cfg.lstt_num * 2 + 1)
+                             if cfg.decoder_intermediate_lstt else d * 2)
+        else:
+            self.lstt = LSTTStack(
+                num_layers=cfg.lstt_num, d_model=d,
+                self_heads=cfg.self_heads, att_heads=cfg.att_heads,
+                linear_q=cfg.linear_q, gru_memory=cfg.gru_memory,
+                intermediate_norm=cfg.decoder_intermediate_lstt,
+                name='lstt')
+            decoder_indim = (d * (cfg.lstt_num + 1)
+                             if cfg.decoder_intermediate_lstt else d)
+        del decoder_indim  # implied by inputs; flax infers input dims
+
+        self.decoder = FPNSegmentationHead(
+            out_dim=cfg.max_obj_num + 1, hidden_dim=d,
+            decode_intermediate_input=cfg.decoder_intermediate_lstt,
+            align_corners=cfg.align_corners, name='decoder')
+
+        # patch-wise identity bank (reference aot.py:64-83): one-hot mask
+        # [B,H,W,id_dim] -> [B,H/16,W/16,d]; orthogonal init with gain k^-2
+        # (reference aot.py:170-177)
+        k = 17 if cfg.align_corners else 16
+        pad = 8 if cfg.align_corners else 0
+        self.patch_wise_id_bank = nn.Conv(
+            d, (k, k), strides=16, padding=pad,
+            kernel_init=nn.initializers.orthogonal(scale=k ** -2,
+                                                   column_axis=-1),
+            name='patch_wise_id_bank')
+        if self.is_deaot:
+            self.id_norm = nn.LayerNorm(epsilon=EPS, name='id_norm')
+
+        if cfg.use_temporal_pe:
+            pe_dim = d // 2 if self.is_deaot else d
+            slots = 4 if cfg.temporal_pe_slot_4 else 2
+            init = nn.initializers.truncated_normal(stddev=0.05,
+                                                    lower=-2.0, upper=2.0)
+            self.cur_pos_emb = self.param('cur_pos_emb', init, (1, pe_dim))
+            self.mem_pos_emb = self.param('mem_pos_emb', init,
+                                          (slots, pe_dim))
+
+    # --- reference AOT.encode_image (aot.py:116-134) ---
+    def encode_image(self, img):
+        xs = self.encoder(img)
+        xs[-1] = self.encoder_projector(xs[-1])
+        return xs
+
+    # --- reference AOT.get_id_emb (aot.py:111-114, deaot.py:65-69) ---
+    def get_id_emb(self, one_hot):
+        """one_hot: [B, H, W, id_dim] -> id tokens [B, HW/256, d]."""
+        id_emb = self.patch_wise_id_bank(one_hot)
+        if self.is_deaot:
+            id_emb = self.id_norm(id_emb)
+        return tokens_from_2d(id_emb)
+
+    def get_pos_emb(self, size_2d):
+        d = self.cfg.encoder_embedding_dim
+        pe = sine_position_embedding(size_2d[0], size_2d[1], d // 2)
+        return pe.reshape(1, size_2d[0] * size_2d[1], d)
+
+    def temporal_pe(self):
+        if not self.cfg.use_temporal_pe:
+            return None
+        return self.cur_pos_emb, self.mem_pos_emb
+
+    # --- reference AOT.LSTT_forward (aot.py:144-168) ---
+    def lstt_forward(self, curr_emb_16x, long_mem, short_mem, curr_id_emb,
+                     self_pos, size_2d, temporal_pe=None,
+                     need_mass: bool = False, deterministic: bool = True):
+        tgt = tokens_from_2d(curr_emb_16x)
+        return self.lstt(tgt, long_mem, short_mem, curr_id_emb, self_pos,
+                         size_2d, temporal_pe, need_mass=need_mass,
+                         deterministic=deterministic)
+
+    # --- reference AOT.decode_id_logits (aot.py:136-142) ---
+    def decode_id_logits(self, lstt_intermediates, shortcuts):
+        b, h, w, _ = shortcuts[-1].shape
+        decoder_inputs = [shortcuts[-1]]
+        for emb in lstt_intermediates:
+            decoder_inputs.append(emb.reshape(b, h, w, -1))
+        return self.decoder(decoder_inputs, shortcuts)
+
+    # --- id-fusion at memory-update time ---
+    def fuse_memory_values(self, memories, id_emb):
+        """Apply the per-layer value-fusion projections to the pending
+        memories captured at propagation time.
+
+        AOT (reference transformer.py:276-299): long V = linear_V(curr_v+id),
+        short V = linear_VMem(local_v+id).
+        DeAOT (reference transformer.py:833-848): ID_V = fuse_value_id.
+        Returns per-layer dicts ready for bank append / short-term push.
+        """
+        fused = []
+        for idx, mems in enumerate(memories):
+            block = self.lstt.blocks[idx]
+            if self.is_deaot:
+                id_v = block.fuse_value_id(mems['curr_id_v'], id_emb)
+                fused.append(dict(long_k=mems['curr_k'],
+                                  long_v=mems['curr_v'], long_id_v=id_v,
+                                  short_k=mems['curr_k'],
+                                  short_v=mems['curr_v'], short_id_v=id_v))
+            else:
+                long_v = block.fuse_curr_value(mems['curr_v'], id_emb)
+                short_v = block.fuse_local_value(mems['local_v'], id_emb)
+                fused.append(dict(long_k=mems['curr_k'], long_v=long_v,
+                                  long_id_v=None, short_k=mems['local_k'],
+                                  short_v=short_v, short_id_v=None))
+        return fused
+
+    def compress_evicted_slots(self, k_slots, v_slots, hidden_k, hidden_v,
+                               size_2d):
+        """GRU-compress evicted (K, V) slots per layer (AOT GRU_MEMORY)."""
+        outs_k, outs_v, hks, hvs = [], [], [], []
+        for idx in range(self.cfg.lstt_num):
+            block = self.lstt.blocks[idx]
+            (ok, ov), (hk, hv) = block.compress_evicted(
+                k_slots[idx], v_slots[idx], hidden_k[idx], hidden_v[idx],
+                size_2d)
+            outs_k.append(ok)
+            outs_v.append(ov)
+            hks.append(hk)
+            hvs.append(hv)
+        stack = lambda xs: jnp.stack(xs, axis=0)
+        return (stack(outs_k), stack(outs_v)), (stack(hks), stack(hvs))
+
+    def __call__(self, img, one_hot_mask_ref):
+        """Initialization-only path: touches every submodule so
+        `model.init` creates the full parameter tree."""
+        xs = self.encode_image(img)
+        b, h, w, _ = xs[-1].shape
+        size_2d = (h, w)
+        id_emb = self.get_id_emb(one_hot_mask_ref)
+        self_pos = self.get_pos_emb(size_2d)
+        tpe = self.temporal_pe()
+        inters, mems, _ = self.lstt_forward(
+            xs[-1], None, None, id_emb, self_pos, size_2d, temporal_pe=tpe)
+        logits = self.decode_id_logits(inters, xs)
+        fused = self.fuse_memory_values(mems, id_emb)
+        if (not self.is_deaot) and self.cfg.gru_memory:
+            k0 = jnp.stack([f['long_k'] for f in fused])
+            v0 = jnp.stack([f['long_v'] for f in fused])
+            self.compress_evicted_slots(k0, v0, jnp.zeros_like(k0),
+                                        jnp.zeros_like(v0), size_2d)
+        return logits
+
+
+def build_vos_model(cfg: ModelConfig) -> VOSModel:
+    return VOSModel(cfg)

@@ -1,0 +1,246 @@
+"""Attention primitives.
+
+Token layout: [B, L, C]. All three attention flavours of the reference are
+here (aot_plus/networks/layers/attention.py):
+
+- MultiheadAttention (:8-86)   — LSTT self / long-term / short-term attention.
+- GatedPropagation (:93-216)   — DeAOT's gated attention (SiLU-gated values,
+  depthwise-conv output path).
+- LocalGatedPropagation (:220-413) — DeAOT's 15x15 windowed short-term
+  attention. The reference materializes an unfolded [ws*ws, HW] key tensor
+  (pad_and_unfold, :404-413) and then scatters the local attention into a full
+  [HW, HW] matrix (:363-402). Here it is one dense attention over the *padded*
+  key grid ([HW, Hp*Wp] logits) with a constant window mask and a gathered
+  relative-position bias — two MXU matmuls plus one gather, no scatter, same
+  numerics (out-of-window logits get -1e8 exactly like the reference mask).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e8
+
+
+def split_heads(x, num_heads: int):
+    b, l, c = x.shape
+    return x.reshape(b, l, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
+                         key_bias=None, return_probs: bool = False):
+    """q: [B, Lq, H*Dq], k: [B, Lk, H*Dq], v: [B, Lk, H*Dv].
+
+    scale defaults to 1/sqrt(Dq). key_bias: broadcastable to [B, H, Lq, Lk],
+    added to logits before softmax. Returns (out [B, Lq, H*Dv], probs|None).
+    """
+    qh = split_heads(q, num_heads)
+    kh = split_heads(k, num_heads)
+    vh = split_heads(v, num_heads)
+    if scale is None:
+        scale = qh.shape[-1] ** -0.5
+    logits = jnp.einsum('bhqd,bhkd->bhqk', qh * scale, kh,
+                        preferred_element_type=jnp.float32)
+    if key_bias is not None:
+        logits = logits + key_bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = merge_heads(out)
+    return (out, probs) if return_probs else (out, None)
+
+
+class MultiheadAttention(nn.Module):
+    """Reference: attention.py:8-86. use_linear controls Q/K/V projections;
+    the output projection always exists."""
+    d_model: int
+    num_heads: int = 8
+    dropout: float = 0.0
+    use_linear: bool = True
+
+    @nn.compact
+    def __call__(self, q, k, v, key_bias=None, return_probs: bool = False,
+                 deterministic: bool = True):
+        if self.use_linear:
+            q = nn.Dense(self.d_model, name='linear_Q')(q)
+            k = nn.Dense(self.d_model, name='linear_K')(k)
+            v = nn.Dense(self.d_model, name='linear_V')(v)
+        out, probs = scaled_dot_attention(q, k, v, self.num_heads,
+                                          key_bias=key_bias,
+                                          return_probs=return_probs)
+        out = nn.Dense(self.d_model, name='projection')(out)
+        return out, probs
+
+
+class GatedPropagation(nn.Module):
+    """DeAOT gated attention (reference: attention.py:93-216).
+
+    d_vu is the *un-expanded* value/gate dim; values are expanded by
+    expand_ratio and gated with SiLU(U) after aggregation.
+    """
+    d_qk: int
+    d_vu: int
+    num_heads: int = 8
+    d_att: Optional[int] = None
+    expand_ratio: float = 2.0
+    use_linear: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, u, size_2d: Tuple[int, int], key_bias=None,
+                 return_probs: bool = False, deterministic: bool = True):
+        from rmem_ocu_tpu.ops.layers import DWConv2d
+        expand_d_vu = int(self.d_vu * self.expand_ratio)
+        hidden = expand_d_vu // self.num_heads
+        d_att = (self.d_qk // self.num_heads if self.d_att is None
+                 else self.d_att)
+
+        if self.use_linear:
+            q = k = nn.Dense(d_att * self.num_heads, name='linear_QK')(q)
+            half = hidden * self.num_heads // 2
+
+            def cat_half(x1, x2):
+                # interleave per head (reference attention.py:154-162)
+                if self.num_heads > 1:
+                    b, l, _ = x1.shape
+                    x1 = x1.reshape(b, l, self.num_heads, half // self.num_heads)
+                    x2 = x2.reshape(b, l, self.num_heads, half // self.num_heads)
+                    return jnp.concatenate([x1, x2], -1).reshape(b, l, -1)
+                return jnp.concatenate([x1, x2], -1)
+
+            v1, v2 = jnp.split(v, 2, axis=-1)
+            v = jax.nn.silu(cat_half(nn.Dense(half, name='linear_V1')(v1),
+                                     nn.Dense(half, name='linear_V2')(v2)))
+            u1, u2 = jnp.split(u, 2, axis=-1)
+            u = jax.nn.silu(cat_half(nn.Dense(half, name='linear_U1')(u1),
+                                     nn.Dense(half, name='linear_U2')(u2)))
+
+        out, probs = scaled_dot_attention(q, k, v, self.num_heads,
+                                          scale=d_att ** -0.5,
+                                          key_bias=key_bias,
+                                          return_probs=return_probs)
+        out = out * u
+        out = DWConv2d(expand_d_vu, name='dw_conv')(out, size_2d,
+                                                    deterministic)
+        out = nn.Dense(self.d_vu, name='projection')(out)
+        return out, probs
+
+
+@functools.lru_cache(maxsize=32)
+def _local_window_maps(h: int, w: int, max_dis: int):
+    """Constant maps for windowed attention over the padded key grid.
+
+    Returns (mask [HW, HpWp] bool — key inside the query's window,
+             rel_idx [HW, HpWp] int32 — window-offset index j in [0, ws*ws)
+             for in-window pairs, ws*ws (sentinel -> zero bias) elsewhere).
+    """
+    ws = 2 * max_dis + 1
+    hp, wp = h + 2 * max_dis, w + 2 * max_dis
+    qy, qx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    ky, kx = np.meshgrid(np.arange(hp), np.arange(wp), indexing='ij')
+    # offset of padded key relative to query, in window coords [0, ws)
+    dy = ky.reshape(1, -1) - qy.reshape(-1, 1)          # [HW, HpWp]
+    dx = kx.reshape(1, -1) - qx.reshape(-1, 1)
+    inside = (dy >= 0) & (dy < ws) & (dx >= 0) & (dx < ws)
+    rel = np.where(inside, dy * ws + dx, ws * ws)
+    return inside, rel.astype(np.int32)
+
+
+class LocalGatedPropagation(nn.Module):
+    """15x15 windowed gated attention (reference: attention.py:220-413)."""
+    d_qk: int
+    d_vu: int
+    num_heads: int
+    max_dis: int = 7
+    dilation: int = 1
+    d_att: Optional[int] = None
+    expand_ratio: float = 2.0
+    use_linear: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, u, size_2d: Tuple[int, int],
+                 deterministic: bool = True):
+        from rmem_ocu_tpu.ops.layers import DWConv2d, tokens_to_2d
+        assert self.dilation == 1, 'dilated local attention not implemented'
+        h, w = size_2d
+        ws = 2 * self.max_dis + 1
+        expand_d_vu = int(self.d_vu * self.expand_ratio)
+        hidden = expand_d_vu // self.num_heads
+        d_att = (self.d_qk // self.num_heads if self.d_att is None
+                 else self.d_att)
+        b = q.shape[0]
+
+        if self.use_linear:
+            # reference uses 1x1 convs; on tokens these are Dense layers
+            q = k = nn.Dense(d_att * self.num_heads, name='linear_QK')(q)
+            # grouped (groups=2) 1x1 convs on the two value halves
+            v1, v2 = jnp.split(v, 2, axis=-1)
+            v = jnp.concatenate([
+                nn.Dense(expand_d_vu // 2, name='linear_V1')(v1),
+                nn.Dense(expand_d_vu // 2, name='linear_V2')(v2)], -1)
+            v = jax.nn.silu(v)
+            u1, u2 = jnp.split(u, 2, axis=-1)
+            u = jnp.concatenate([
+                nn.Dense(expand_d_vu // 2, name='linear_U1')(u1),
+                nn.Dense(expand_d_vu // 2, name='linear_U2')(u2)], -1)
+            u = jax.nn.silu(u)
+            if self.num_heads > 1:
+                # interleave halves per head (reference attention.py:297-303)
+                def interleave(x):
+                    x = x.reshape(b, h * w, 2, self.num_heads, hidden // 2)
+                    return x.transpose(0, 1, 3, 2, 4).reshape(b, h * w, -1)
+                v = interleave(v)
+                u = interleave(u)
+
+        # learned relative position bias from q (grouped 1x1 conv with
+        # groups=num_heads, reference attention.py:260-264, 314): head i's
+        # bias reads only head i's query channels.
+        rel_w = self.param('relative_emb_k_w', nn.initializers.lecun_normal(),
+                           (self.num_heads, d_att, ws * ws))
+        rel_b = self.param('relative_emb_k_b', nn.initializers.zeros,
+                           (self.num_heads, ws * ws))
+        qg = q.reshape(b, h * w, self.num_heads, d_att)
+        rel = jnp.einsum('blhd,hdj->bhlj', qg, rel_w) + rel_b[None, :, None]
+        rel = jnp.concatenate(
+            [rel, jnp.zeros_like(rel[..., :1])], -1)  # sentinel zero bias
+
+        mask_np, relidx_np = _local_window_maps(h, w, self.max_dis)
+        mask = jnp.asarray(mask_np)
+        rel_idx = jnp.asarray(relidx_np)
+
+        # pad keys/values on the 2D grid
+        pad = [(0, 0), (self.max_dis, self.max_dis),
+               (self.max_dis, self.max_dis), (0, 0)]
+        k2 = jnp.pad(tokens_to_2d(k, size_2d), pad)
+        v2 = jnp.pad(tokens_to_2d(v, size_2d), pad)
+        hp, wp = h + 2 * self.max_dis, w + 2 * self.max_dis
+        kp = k2.reshape(b, hp * wp, -1)
+        vp = v2.reshape(b, hp * wp, -1)
+
+        qh = split_heads(q, self.num_heads) * (d_att ** -0.5)
+        kh = split_heads(kp, self.num_heads)
+        vh = split_heads(vp, self.num_heads)
+        logits = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
+                            preferred_element_type=jnp.float32)
+        # gather per-(query, padded-key) relative bias
+        bias = jnp.take_along_axis(rel, rel_idx[None, None], axis=-1)
+        logits = logits + bias + jnp.where(mask, 0.0, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = merge_heads(out) * u
+        out = DWConv2d(expand_d_vu, name='dw_conv')(out, size_2d,
+                                                    deterministic)
+        out = nn.Dense(self.d_vu, name='projection')(out)
+        return out, None

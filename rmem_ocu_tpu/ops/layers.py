@@ -1,0 +1,161 @@
+"""Primitive layers (norms, conv blocks, drop-path).
+
+Token layout is [B, HW, C] (batch-major for TPU) and images are NHWC, unlike
+the reference's [L, B, C] / NCHW (aot_plus/networks/layers/basic.py).
+All norm epsilons are pinned to torch's 1e-5 for fp32 parity.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5
+
+
+def tokens_to_2d(x, size_2d: Tuple[int, int]):
+    """[B, HW, C] -> [B, H, W, C]."""
+    b, hw, c = x.shape
+    h, w = size_2d
+    return x.reshape(b, h, w, c)
+
+
+def tokens_from_2d(x):
+    """[B, H, W, C] -> [B, HW, C]."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h * w, c)
+
+
+class GroupNorm1D(nn.Module):
+    """GroupNorm over token channels (reference: basic.py:6-12)."""
+    dim: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.groups, epsilon=EPS,
+                            name='gn')(x)
+
+
+class ConvGN(nn.Module):
+    """Conv2d + GroupNorm(8) (reference: basic.py:60-70). NHWC."""
+    out_dim: int
+    kernel_size: int
+    gn_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_dim, (self.kernel_size, self.kernel_size),
+                    padding=self.kernel_size // 2, name='conv')(x)
+        return nn.GroupNorm(num_groups=self.gn_groups, epsilon=EPS,
+                            name='gn')(x)
+
+
+class GNActDWConv2d(nn.Module):
+    """GroupNorm(32) -> GELU -> depthwise 5x5 conv, on tokens.
+
+    Reference: basic.py:15-35. The FFN activation of LSTT blocks.
+    """
+    dim: int
+    gn_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, size_2d):
+        x2d = tokens_to_2d(x, size_2d)
+        x2d = nn.GroupNorm(num_groups=self.gn_groups, epsilon=EPS,
+                           name='gn')(x2d)
+        x2d = jax.nn.gelu(x2d, approximate=False)
+        x2d = nn.Conv(self.dim, (5, 5), padding=2,
+                      feature_group_count=self.dim, use_bias=False,
+                      name='conv')(x2d)
+        return tokens_from_2d(x2d)
+
+
+class DWConv2d(nn.Module):
+    """Depthwise 5x5 conv on tokens + dropout (reference: basic.py:38-57)."""
+    dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, size_2d, deterministic: bool = True):
+        x2d = tokens_to_2d(x, size_2d)
+        x2d = nn.Conv(self.dim, (5, 5), padding=2,
+                      feature_group_count=self.dim, use_bias=False,
+                      name='conv')(x2d)
+        x = tokens_from_2d(x2d)
+        if self.dropout > 0.0 and not deterministic:
+            # torch Dropout2d drops whole channels
+            keep = 1.0 - self.dropout
+            rng = self.make_rng('dropout')
+            mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, x.shape[2]))
+            x = x * mask / keep
+        return x
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Stochastic depth over the batch axis (reference: basic.py:98-117,
+    batch_dim=1 there because of [L,B,C]; batch is axis 0 here)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return x * mask / keep
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        return drop_path(x, self.rate, False, self.make_rng('droppath'))
+
+
+def frozen_bn_scale_bias(weight, bias, running_mean, running_var,
+                         epsilon: float = EPS):
+    """Fold frozen-BN stats into (scale, bias) (reference:
+    networks/layers/normalization.py:6-28)."""
+    scale = weight * jax.lax.rsqrt(running_var + epsilon)
+    return scale, bias - running_mean * scale
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine params.
+
+    Parameters live in the 'params' collection (so the torch converter can
+    fill them) but are excluded from weight decay / treated as constants by
+    the trainer's param filter.
+    """
+    dim: int
+    epsilon: float = EPS
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param('weight', nn.initializers.ones, (self.dim,))
+        bias = self.param('bias', nn.initializers.zeros, (self.dim,))
+        mean = self.param('running_mean', nn.initializers.zeros, (self.dim,))
+        # reference initializes running_var to 1 - eps (normalization.py:14)
+        var = self.param('running_var',
+                         lambda k, s: jnp.full(s, 1.0 - self.epsilon),
+                         (self.dim,))
+        scale, offset = frozen_bn_scale_bias(
+            jax.lax.stop_gradient(weight), jax.lax.stop_gradient(bias),
+            jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var),
+            self.epsilon)
+        return x * scale.astype(x.dtype) + offset.astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """Trainable BatchNorm wrapper (used when freeze_bn=False)."""
+    dim: int
+    epsilon: float = EPS
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        return nn.BatchNorm(use_running_average=use_running_average,
+                            epsilon=self.epsilon, momentum=0.9,
+                            name='bn')(x)
