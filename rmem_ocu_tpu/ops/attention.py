@@ -152,8 +152,13 @@ def _local_window_maps(h: int, w: int, max_dis: int):
     dy = ky.reshape(1, -1) - qy.reshape(-1, 1)          # [HW, HpWp]
     dx = kx.reshape(1, -1) - qx.reshape(-1, 1)
     inside = (dy >= 0) & (dy < ws) & (dx >= 0) & (dx < ws)
+    # padded (out-of-image) keys are masked even inside the window, exactly
+    # like the reference's qk_mask (attention.py:305-312, 344)
+    in_image = ((ky.reshape(1, -1) >= max_dis) & (ky.reshape(1, -1) < h + max_dis)
+                & (kx.reshape(1, -1) >= max_dis)
+                & (kx.reshape(1, -1) < w + max_dis))
     rel = np.where(inside, dy * ws + dx, ws * ws)
-    return inside, rel.astype(np.int32)
+    return inside & in_image, rel.astype(np.int32)
 
 
 class LocalGatedPropagation(nn.Module):
