@@ -1,0 +1,75 @@
+"""Benchmark: flagship R50-DeAOT-L (RMem mode) streaming inference
+throughput at the DAVIS-17 480p eval resolution, on one TPU chip.
+
+Protocol mirrors the reference evaluator (aot_plus/networks/managers/
+evaluator.py:331-523): per frame = encode -> memory-read (restricted bank
+1+8 with temporal PE) -> decode -> mask argmax -> memory update (ring
+append + attention/UCB eviction); long edge <= 480*1.3 snapped to the
+stride-16(+1) grid, multi-object (3 objects, one batched id pass).
+
+Prints ONE JSON line: frames/sec/chip vs the 60 fps north-star target.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rmem_ocu_tpu.config import get_config
+    from rmem_ocu_tpu.engine import InferEngine
+    from rmem_ocu_tpu.models import build_vos_model
+
+    # DAVIS 480p (854x480) -> long edge 624 -> stride-16+1 grid
+    H, W = 353, 625
+    exp = get_config('pre_vost_2', model='r50_deaotl')
+    cfg = exp.model
+    model = build_vos_model(cfg)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, H, W, 3), jnp.float32)
+    mask = jnp.asarray((rng.rand(1, H, W) * 4).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), img,
+                        jnp.zeros((1, H, W, cfg.id_dim)))
+
+    engine = InferEngine(model, exp, long_term_mem_gap=5)
+    h16, w16 = (H - 1) // 16 + 1, (W - 1) // 16 + 1
+    state = engine.init_state(1, (h16, w16))
+    state = engine.add_reference_frame(params, state, img, mask,
+                                       jnp.array([3], jnp.int32))
+
+    frames = [jnp.asarray(rng.randn(1, H, W, 3), jnp.float32)
+              for _ in range(8)]
+
+    @jax.jit
+    def frame_step(params, state, frame):
+        logits, state = engine._propagate(params, state, frame)
+        pred = engine.predict_mask(logits, (H, W))
+        state = engine._update_memory(params, state, pred)
+        return pred, state
+
+    # warmup / compile + fill the memory bank to steady state
+    for f in frames:
+        pred, state = frame_step(params, state, f)
+    jax.block_until_ready(pred)
+
+    n_iters = 60
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        pred, state = frame_step(params, state, frames[i % len(frames)])
+    jax.block_until_ready(pred)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        'metric': 'davis17_480p_multiobj_fps_per_chip',
+        'value': round(fps, 2),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

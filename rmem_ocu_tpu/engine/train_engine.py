@@ -1,0 +1,281 @@
+"""Training episode as a jit/scan program.
+
+Reference: aot_plus/networks/engines/aot_engine.py:40-128 (AOTEngine.forward)
+— a python loop that encodes all frames offline, adds the reference frame,
+then alternates propagate / loss / memory-update. Here the whole episode is
+one pure function: the encoder runs once over [T*B] frames (one big MXU
+batch), and frames 1..T-1 run under `lax.scan` with the memory bank as
+carry; each scan step is `jax.checkpoint`-ed so the T=15 episode backprops
+without storing every intermediate.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from rmem_ocu_tpu.config import ExpConfig
+from rmem_ocu_tpu.memory import bank as membank
+from rmem_ocu_tpu.models.vos_model import VOSModel
+from rmem_ocu_tpu.ops.losses import segmentation_loss
+from rmem_ocu_tpu.ops.masks import (generate_permute_matrix, one_hot_mask,
+                                    shuffle_one_hot, unshuffle_logits)
+from rmem_ocu_tpu.ops.position import interpolated_memory_pe
+from rmem_ocu_tpu.ops.resize import interpolate_bilinear
+
+UNUSED_ID_LOGIT = -1e10
+
+
+@flax.struct.dataclass
+class EpisodeCarry:
+    bank: membank.MemoryBank
+    short: membank.ShortTermMemory
+    last_mem_step: jnp.ndarray           # scalar int32
+    prev_pred_prob: jnp.ndarray          # [B, H, W, O+1] previous softmax
+
+
+class TrainEngine:
+    """Binds (model, exp config) to the pure episode-loss function."""
+
+    def __init__(self, model: VOSModel, exp: ExpConfig):
+        self.model = model
+        self.cfg = model.cfg
+        self.exp = exp
+        self.gap = exp.train_long_term_mem_gap
+        self.skip = exp.train_short_term_mem_skip
+
+    # -------------------------------------------------------------- #
+    def _dims(self):
+        cfg = self.cfg
+        d = cfg.encoder_embedding_dim
+        if cfg.vos == 'deaot':
+            d_att = d // 2 if cfg.att_heads == 1 else d // cfg.att_heads
+            return d_att * cfg.att_heads, int(d * 2.0), True
+        return d, d, False
+
+    def _id_emb(self, params, one_hot, ignore, shuffle, freeze_id, rngs):
+        """Reference: engines/aot_engine.py:208-232."""
+        cfg = self.cfg
+        if cfg.ignore_token:
+            non_ignored = (ignore == 0).astype(one_hot.dtype)
+            one_hot = one_hot.at[..., 0:1].multiply(non_ignored)
+        if shuffle is not None:
+            one_hot = shuffle_one_hot(one_hot, shuffle)
+        if cfg.ignore_token:
+            one_hot = jnp.concatenate([one_hot, ignore], axis=-1)
+        id_emb = self.model.apply(params, one_hot,
+                                  method=VOSModel.get_id_emb)
+        if freeze_id:
+            id_emb = jax.lax.stop_gradient(id_emb)
+        return id_emb
+
+    def _temporal_pe(self, params, length):
+        if not self.cfg.use_temporal_pe:
+            return None
+        cur, mem = self.model.apply(params, method=VOSModel.temporal_pe)
+        cap = self.cfg.mem_bank_capacity
+        mem_i = jax.vmap(lambda l: interpolated_memory_pe(mem, l, cap))(
+            length)
+        return cur[0], mem_i
+
+    def _mask_unused(self, logits, obj_nums):
+        c = logits.shape[-1]
+        keep = jnp.arange(c)[None] <= obj_nums[:, None]
+        return jnp.where(keep[:, None, None, :], logits, UNUSED_ID_LOGIT)
+
+    def _frame_loss(self, logits_4x, gt_mask, obj_nums, step, input_size):
+        """Per-frame loss at input resolution
+        (reference aot_engine.py:485-508)."""
+        logits = interpolate_bilinear(logits_4x, input_size,
+                                      self.cfg.align_corners)
+        return segmentation_loss(
+            logits, gt_mask, step, self.exp.train_total_steps,
+            self.exp.train_hard_mining_ratio,
+            self.exp.train_top_k_percent_pixels, obj_nums)
+
+    # -------------------------------------------------------------- #
+    def episode_loss(self, params, frames, masks, obj_nums, step, rng,
+                     use_prev_pred: bool = False, enable_id_shuffle: bool = True):
+        """frames: [B, T, H, W, 3]; masks: int32 [B, T, H, W];
+        obj_nums: [B]; step: scalar; rng: PRNGKey.
+        Returns (scalar loss, aux dict with per-frame losses and last pred).
+        """
+        cfg, exp = self.cfg, self.exp
+        b, t_total, h, w, _ = frames.shape
+        input_size = (h, w)
+        rng_shuffle, rng_drop = jax.random.split(rng)
+        rngs = {'droppath': rng_drop, 'dropout': rng_drop}
+
+        # --- offline encode all frames in one batch (aot_engine.py:174-196)
+        flat = frames.reshape(b * t_total, h, w, 3)
+        xs = self.model.apply(params, flat, method=VOSModel.encode_image,
+                              rngs=rngs)
+        # -> per-frame lists [B, T, h16, w16, C]
+        xs = [x.reshape(b, t_total, *x.shape[1:]) for x in xs]
+        h16, w16 = xs[-1].shape[2], xs[-1].shape[3]
+        size_2d = (h16, w16)
+        hw = h16 * w16
+
+        one_hot_all, ignore_all = one_hot_mask(
+            masks.reshape(b * t_total, h, w), cfg.max_obj_num)
+        one_hot_all = one_hot_all.reshape(b, t_total, h, w, -1)
+        ignore_all = ignore_all.reshape(b, t_total, h, w, 1)
+
+        shuffle = (generate_permute_matrix(cfg.max_obj_num + 1, b,
+                                           rng_shuffle)
+                   if enable_id_shuffle else None)
+
+        self_pos = self.model.apply(params, size_2d,
+                                    method=VOSModel.get_pos_emb)
+        ck, cv, with_id = self._dims()
+        L = cfg.lstt_num
+        cap = cfg.mem_bank_capacity
+
+        def lstt_step(p, emb16, long_mem, short_mem, id_emb, tpe):
+            return self.model.apply(
+                p, emb16, long_mem, short_mem, id_emb, self_pos, size_2d,
+                temporal_pe=tpe, need_mass=False, deterministic=False,
+                rngs=rngs, method=VOSModel.lstt_forward)
+
+        def decode(p, inters, shortcuts, obj_nums):
+            logits = self.model.apply(p, inters, shortcuts, rngs=rngs,
+                                      method=VOSModel.decode_id_logits)
+            if shuffle is not None:
+                logits = unshuffle_logits(logits, shuffle)
+            return self._mask_unused(logits, obj_nums)
+
+        frame_xs = lambda t: [x[:, t] for x in xs]
+
+        # --- reference frame (t = 0) ---
+        id_emb0 = self._id_emb(params, one_hot_all[:, 0], ignore_all[:, 0],
+                               shuffle, freeze_id=use_prev_pred, rngs=rngs)
+        tpe_ref = self._temporal_pe(params, jnp.ones((b,), jnp.int32))
+        if tpe_ref is not None:
+            tpe_ref = (tpe_ref[0], tpe_ref[1][:, :1])
+        inters0, mems0, _ = lstt_step(params, xs[-1][:, 0], None, None,
+                                      id_emb0, tpe_ref)
+        logits0 = decode(params, inters0, frame_xs(0), obj_nums)
+        aux_loss = self._frame_loss(logits0, masks[:, 0], obj_nums, step,
+                                    input_size)
+
+        stack = lambda ms, key: jnp.stack([m[key] for m in ms], axis=0)
+        if cfg.vos == 'deaot':
+            long_k0 = stack(mems0, 'curr_k')
+            long_v0 = stack(mems0, 'curr_v')
+            long_id0 = stack(mems0, 'global_id_v_fused')
+            short0 = (long_k0, long_v0, long_id0)
+        else:
+            long_k0 = stack(mems0, 'curr_k')
+            long_v0 = stack(mems0, 'global_v_fused')
+            long_id0 = None
+            short0 = (stack(mems0, 'local_k'), stack(mems0, 'local_v'), None)
+
+        bank = membank.init_bank(L, b, cap, hw, ck, cv, with_id,
+                                 frames.dtype)
+        bank = membank.append_frame(bank, long_k0, long_v0, long_id0, 0)
+        short = membank.init_short_term(L, b, self.skip, hw, ck, cv, with_id,
+                                        frames.dtype)
+        short = membank.push_short_term(short, *short0)
+
+        carry = EpisodeCarry(
+            bank=bank, short=short,
+            last_mem_step=jnp.zeros((), jnp.int32),
+            prev_pred_prob=jax.nn.softmax(logits0.astype(jnp.float32), -1))
+
+        # --- frames 1..T-1 under scan ---
+        def step_fn(carry: EpisodeCarry, inputs):
+            t_idx, emb16, shortcuts, oh, ig, gt = inputs
+            tpe = self._temporal_pe(params, carry.bank.length)
+            if cfg.vos == 'deaot':
+                long_mem = (carry.bank.k, carry.bank.v, carry.bank.id_v,
+                            carry.bank.length)
+                short_mem = carry.short.read()
+            else:
+                k0, v0, _ = carry.short.read()
+                long_mem = (carry.bank.k, carry.bank.v, carry.bank.length)
+                short_mem = (k0, v0)
+            inters, mems, _ = lstt_step(params, emb16, long_mem, short_mem,
+                                        None, tpe)
+            logits = decode(params, inters, shortcuts, obj_nums)
+            loss = self._frame_loss(logits, gt, obj_nums, step, input_size)
+
+            # memory update with GT identity (or previous prediction when
+            # use_prev_pred; reference aot_engine.py:91-99)
+            if use_prev_pred:
+                pred_prob = interpolate_bilinear(
+                    logits, input_size, cfg.align_corners)
+                pred_mask = jnp.argmax(pred_prob, axis=-1).astype(jnp.int32)
+                upd_oh, upd_ig = one_hot_mask(pred_mask, cfg.max_obj_num)
+            else:
+                upd_oh, upd_ig = oh, ig
+            id_emb = self._id_emb(params, upd_oh, upd_ig, shuffle,
+                                  freeze_id=use_prev_pred, rngs=rngs)
+
+            per_layer = []
+            for idx in range(L):
+                m = dict(curr_k=mems[idx]['curr_k'],
+                         curr_v=mems[idx]['curr_v'])
+                if cfg.vos == 'deaot':
+                    m['curr_id_v'] = (None if idx == 0
+                                      else mems[idx]['curr_id_v'])
+                else:
+                    m['local_k'] = mems[idx]['local_k']
+                    m['local_v'] = mems[idx]['local_v']
+                per_layer.append(m)
+            fused = self.model.apply(params, per_layer, id_emb, rngs=rngs,
+                                     method=VOSModel.fuse_memory_values)
+            fstack = lambda key: jnp.stack([f[key] for f in fused], axis=0)
+            new_short = membank.push_short_term(
+                carry.short, fstack('short_k'), fstack('short_v'),
+                fstack('short_id_v') if cfg.vos == 'deaot' else None)
+
+            do_long = jnp.logical_and(
+                t_idx - carry.last_mem_step >= self.gap,
+                jnp.array(not cfg.no_long_memory))
+
+            def long_update(bk):
+                bk = membank.append_frame(
+                    bk, fstack('long_k'), fstack('long_v'),
+                    fstack('long_id_v') if cfg.vos == 'deaot' else None,
+                    t_idx)
+                over = bk.length > (cfg.former_mem_len + cfg.latter_mem_len)
+                drop = membank.default_drop_index(bk, cfg.former_mem_len,
+                                                  cfg.gru_memory)
+                return membank.evict_frame(bk, drop, enabled=over)
+
+            new_bank = jax.lax.cond(do_long, long_update, lambda x: x,
+                                    carry.bank)
+            new_carry = EpisodeCarry(
+                bank=new_bank, short=new_short,
+                last_mem_step=jnp.where(do_long, t_idx,
+                                        carry.last_mem_step),
+                prev_pred_prob=jax.nn.softmax(
+                    logits.astype(jnp.float32), -1))
+            return new_carry, loss
+
+        xs_scan = (
+            jnp.arange(1, t_total, dtype=jnp.int32),
+            jnp.moveaxis(xs[-1][:, 1:], 1, 0),
+            [jnp.moveaxis(x[:, 1:], 1, 0) for x in xs],
+            jnp.moveaxis(one_hot_all[:, 1:], 1, 0),
+            jnp.moveaxis(ignore_all[:, 1:], 1, 0),
+            jnp.moveaxis(masks[:, 1:], 1, 0),
+        )
+        carry, frame_losses = jax.lax.scan(
+            jax.checkpoint(step_fn), carry, xs_scan)
+
+        # loss aggregation (reference aot_engine.py:108-113): aux weight
+        # decays linearly to 0 over train_aux_loss_ratio of training
+        aux_step = exp.train_total_steps * exp.train_aux_loss_ratio + 1e-5
+        aux_w = exp.train_aux_loss_weight * jnp.maximum(
+            aux_step - step, 0.0) / aux_step
+        pred_loss = jnp.mean(frame_losses)
+        total = aux_w * jnp.mean(aux_loss) + pred_loss
+        return total, {
+            'aux_loss': jnp.mean(aux_loss),
+            'pred_loss': pred_loss,
+            'frame_losses': jnp.mean(frame_losses, axis=-1),
+            'final_pred_prob': carry.prev_pred_prob,
+        }

