@@ -34,6 +34,9 @@ class EpisodeCarry:
     short: membank.ShortTermMemory
     last_mem_step: jnp.ndarray           # scalar int32
     prev_pred_prob: jnp.ndarray          # [B, H, W, O+1] previous softmax
+    # REVERSE_INFER: the short-term memory captured right after frame 1
+    # (reference aot_engine.py:371-375); None when the flag is off
+    first_short: Optional[membank.ShortTermMemory] = None
 
 
 class TrainEngine:
@@ -182,7 +185,9 @@ class TrainEngine:
         carry = EpisodeCarry(
             bank=bank, short=short,
             last_mem_step=jnp.zeros((), jnp.int32),
-            prev_pred_prob=jax.nn.softmax(logits0.astype(jnp.float32), -1))
+            prev_pred_prob=jax.nn.softmax(logits0.astype(jnp.float32), -1),
+            first_short=(short if cfg.reverse_infer and cfg.vos == 'aot'
+                         else None))
 
         # --- frames 1..T-1 under scan ---
         def step_fn(carry: EpisodeCarry, inputs):
@@ -247,13 +252,49 @@ class TrainEngine:
 
             new_bank = jax.lax.cond(do_long, long_update, lambda x: x,
                                     carry.bank)
+
+            # REVERSE_INFER (reference aot_engine.py:371-396): after a long
+            # write, re-segment the reference frame against the *latter*
+            # memory (slot 0 dropped) + the frame-1 short memory, and add a
+            # scaled backward-consistency loss.
+            # (AOT only: the reference's DualBranchGPM ignores outer
+            # memories, transformer.py:765-798, so DeAOT reverse-infer is
+            # broken upstream and not reproduced)
+            rev_loss = jnp.zeros_like(loss)
+            first_short = carry.first_short
+            if cfg.reverse_infer and cfg.vos == 'aot':
+                first_short = jax.tree.map(
+                    lambda a, b_: jnp.where(t_idx == 1, b_, a),
+                    carry.first_short, new_short)
+
+                def reverse_loss(_):
+                    outer_k = new_bank.k[:, :, 1:]
+                    outer_v = new_bank.v[:, :, 1:]
+                    outer_len = jnp.maximum(new_bank.length - 1, 1)
+                    k0, v0, _ = first_short.read()
+                    tpe_r = self._temporal_pe(params, outer_len)
+                    if tpe_r is not None:
+                        tpe_r = (tpe_r[0], tpe_r[1][:, :outer_k.shape[2]])
+                    inters_r, _, _ = lstt_step(
+                        params, xs[-1][:, 0], (outer_k, outer_v, outer_len),
+                        (k0, v0), None, tpe_r)
+                    logits_r = decode(params, inters_r, frame_xs(0),
+                                      obj_nums)
+                    return cfg.reverse_loss * self._frame_loss(
+                        logits_r, masks[:, 0], obj_nums, step, input_size)
+
+                rev_loss = jax.lax.cond(
+                    jnp.logical_and(do_long, t_idx > 1), reverse_loss,
+                    lambda _: jnp.zeros_like(loss), None)
+
             new_carry = EpisodeCarry(
                 bank=new_bank, short=new_short,
                 last_mem_step=jnp.where(do_long, t_idx,
                                         carry.last_mem_step),
                 prev_pred_prob=jax.nn.softmax(
-                    logits.astype(jnp.float32), -1))
-            return new_carry, loss
+                    logits.astype(jnp.float32), -1),
+                first_short=first_short)
+            return new_carry, loss + rev_loss
 
         xs_scan = (
             jnp.arange(1, t_total, dtype=jnp.int32),

@@ -5,9 +5,10 @@ design:
 
 - sequences are statically partitioned by host index (seq_idx % world)
   instead of an mp.Queue work-stealing farm (:276-295),
-- multi-scale / flip augmentations and >max_obj_num object groups all fold
-  into the engine's batch axis — one batched pass instead of a python list
-  of engines (:342-352, aot_engine.py:675-700),
+- >max_obj_num object groups fold into the engine's batch axis — one batched
+  pass instead of a python list of engines (aot_engine.py:675-700),
+- multi-scale / flip augmentations keep one engine state each (different
+  spatial shapes), their softmax is averaged like the reference (:436-441),
 - per-frame timing uses host timers around block_until_ready instead of
   CUDA events (:400-404).
 """
@@ -15,7 +16,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 import jax
@@ -27,14 +28,12 @@ from rmem_ocu_tpu.data.eval_datasets import EvalDataset, FrameSample
 from rmem_ocu_tpu.engine.infer_engine import InferEngine
 from rmem_ocu_tpu.models.vos_model import VOSModel
 from rmem_ocu_tpu.ops.masks import save_mask_png
-from rmem_ocu_tpu.ops.resize import (interpolate_bilinear,
-                                     interpolate_nearest)
+from rmem_ocu_tpu.ops.resize import interpolate_bilinear
 
 
 def adaptive_mem_gap(num_frames: int, base_gap: int) -> int:
     """gap = max(round(frames / 30), 5) (reference evaluator.py:331-335)."""
-    gap = max(int(round(num_frames / 30.0)), 5)
-    return gap
+    return max(int(round(num_frames / 30.0)), 5)
 
 
 def separate_mask_groups(mask: np.ndarray, n_groups: int,
@@ -52,8 +51,8 @@ def separate_mask_groups(mask: np.ndarray, n_groups: int,
 
 def soft_aggregate_group_logits(logits: jnp.ndarray, obj_num: int,
                                 group_size: int) -> jnp.ndarray:
-    """Merge per-group logits [G, H, W, group_size+1] into a single
-    [1, H, W, obj_num+1] logit map: bg = prod of per-group bg probs
+    """Merge per-group logits [G, H, W, group_size+1] into one
+    [1, H, W, obj_num+1] map: bg = prod of per-group bg probs
     (reference aot_engine.py:650-673)."""
     g = logits.shape[0]
     if g == 1:
@@ -66,15 +65,30 @@ def soft_aggregate_group_logits(logits: jnp.ndarray, obj_num: int,
     return jnp.log(merged) - jnp.log1p(-merged)
 
 
+def min_aggregate_group_logits(logits: jnp.ndarray, obj_num: int,
+                               group_size: int) -> jnp.ndarray:
+    """Alternative bg = min over groups (reference aot_engine.py:630-648)."""
+    g = logits.shape[0]
+    if g == 1:
+        return logits
+    bg = jnp.min(logits[..., 0], axis=0)[None, ..., None]
+    fgs = [logits[i:i + 1, ..., 1:1 + group_size] for i in range(g)]
+    return jnp.concatenate([bg] + fgs, axis=-1)
+
+
 @dataclass
 class EvalStats:
     total_time: float = 0.0
     total_frames: int = 0
-    seq_fps: Optional[List[float]] = None
+    seq_fps: List[float] = field(default_factory=list)
 
-    def __post_init__(self):
-        if self.seq_fps is None:
-            self.seq_fps = []
+
+@dataclass
+class _AugState:
+    state: object
+    flip: bool
+    in_size: tuple
+    grid: tuple
 
 
 class Evaluator:
@@ -107,100 +121,115 @@ class Evaluator:
         return stats
 
     # -------------------------------------------------------------- #
+    def _grid(self, in_size):
+        if self.cfg.align_corners:
+            return ((in_size[0] - 1) // 16 + 1, (in_size[1] - 1) // 16 + 1)
+        return (in_size[0] // 16, in_size[1] // 16)
+
+    def _add_ref_all(self, engine, augs, samples, label_ori, n_groups,
+                     obj_nums):
+        """(Re-)add a reference label (original resolution) to every aug."""
+        for aug, sample in zip(augs, samples):
+            lbl = label_ori[:, ::-1] if aug.flip else label_ori
+            label_in = self._label_at(lbl, aug.in_size)
+            groups = separate_mask_groups(label_in, n_groups,
+                                          self.cfg.max_obj_num)
+            imgs = jnp.repeat(jnp.asarray(sample.image[None]), n_groups, 0)
+            aug.state = engine.add_reference_frame(
+                self.params, aug.state, imgs,
+                jnp.asarray(groups.astype(np.int32)), obj_nums)
+
     def _eval_sequence(self, seq_name: str, seq, verbose: bool):
         exp, cfg = self.exp, self.cfg
         gap = adaptive_mem_gap(len(seq), exp.test_long_term_mem_gap)
         engine = InferEngine(self.model, exp, long_term_mem_gap=gap)
+        group_size = cfg.max_obj_num
 
         os.makedirs(os.path.join(self.result_root, seq_name), exist_ok=True)
 
-        state = None
+        augs: Optional[List[_AugState]] = None
         n_groups = 1
-        group_size = cfg.max_obj_num
         obj_idx = None
         total_time, timed_frames = 0.0, 0
         pending_masks = []
 
         for frame_idx in range(len(seq)):
             samples = seq.frame(frame_idx)
-            # single-scale no-flip fast path is the common configuration;
-            # augmentations share the engine batch axis
-            sample: FrameSample = samples[0]
-            assert len(samples) == 1, 'multi-aug eval lands in a later pass'
-            obj_idx = sample.obj_idx
-            ori_size = (sample.height, sample.width)
-            img = jnp.asarray(sample.image[None])
-            in_size = sample.image.shape[:2]
+            base: FrameSample = samples[0]
+            obj_idx = base.obj_idx
+            ori_size = (base.height, base.width)
 
             if frame_idx == 0:
-                assert sample.label is not None
-                obj_num = sample.obj_num
+                assert base.label is not None
+                obj_num = base.obj_num
                 n_groups = max(int(np.ceil(obj_num / group_size)), 1)
-                label_in = self._label_at(sample.label, in_size)
-                group_masks = separate_mask_groups(label_in, n_groups,
-                                                   group_size)
-                h16 = ((in_size[0] - 1) // 16 + 1 if cfg.align_corners
-                       else in_size[0] // 16)
-                w16 = ((in_size[1] - 1) // 16 + 1 if cfg.align_corners
-                       else in_size[1] // 16)
-                state = engine.init_state(n_groups, (h16, w16))
-                imgs = jnp.repeat(img, n_groups, axis=0)
                 obj_nums = jnp.full(
                     (n_groups,),
                     min(obj_num, group_size) if n_groups == 1
                     else group_size, jnp.int32)
-                state = engine.add_reference_frame(
-                    self.params, state, imgs, jnp.asarray(
-                        group_masks.astype(np.int32)), obj_nums)
+                augs = []
+                for s in samples:
+                    in_size = s.image.shape[:2]
+                    augs.append(_AugState(
+                        state=engine.init_state(n_groups,
+                                                self._grid(in_size)),
+                        flip=s.flip, in_size=in_size,
+                        grid=self._grid(in_size)))
+                self._add_ref_all(engine, augs, samples, base.label,
+                                  n_groups, obj_nums)
                 continue
 
             t0 = time.perf_counter()
-            imgs = jnp.repeat(img, n_groups, axis=0)
-            logits, state = engine.propagate(self.params, state, imgs)
-            merged = soft_aggregate_group_logits(logits, sample.obj_num,
-                                                 group_size)
-            # to original resolution for the saved mask
-            logits_ori = interpolate_bilinear(merged, ori_size,
-                                              cfg.align_corners)
-            pred_ori = np.asarray(jnp.argmax(logits_ori, -1)[0]
-                                  ).astype(np.uint8)
+            prob_sum = None
+            for aug, sample in zip(augs, samples):
+                img = jnp.repeat(jnp.asarray(sample.image[None]), n_groups,
+                                 0)
+                logits, aug.state = engine.propagate(self.params, aug.state,
+                                                     img)
+                merged = soft_aggregate_group_logits(logits, base.obj_num,
+                                                     group_size)
+                logits_ori = interpolate_bilinear(merged, ori_size,
+                                                  cfg.align_corners)
+                if aug.flip:
+                    logits_ori = logits_ori[:, :, ::-1]
+                prob = jax.nn.softmax(logits_ori.astype(jnp.float32), -1)
+                prob_sum = prob if prob_sum is None else prob_sum + prob
+            pred_ori = np.asarray(jnp.argmax(prob_sum, -1)[0]).astype(
+                np.uint8)
 
             # mid-video new objects (YouTube-VOS): overwrite with GT where
             # labeled, then re-add as reference (reference :484-508)
-            if sample.label is not None:
-                new_label = self._label_at(sample.label, ori_size)
+            if base.label is not None:
+                new_label = self._label_at(base.label, ori_size)
                 keep = new_label == 0
-                pred_ori = np.where(keep, pred_ori, new_label)
+                pred_ori = np.where(keep, pred_ori, new_label).astype(
+                    np.uint8)
                 new_obj_num = int(pred_ori.max())
-                label_in = self._label_at(pred_ori, in_size, nearest=True)
-                n_groups_new = max(int(np.ceil(new_obj_num / group_size)),
-                                   1)
+                n_groups_new = max(int(np.ceil(new_obj_num / group_size)), 1)
                 if n_groups_new != n_groups:
-                    # grow the group batch: re-init state and re-add
                     n_groups = n_groups_new
-                    state = engine.init_state(n_groups, (h16, w16))
-                group_masks = separate_mask_groups(label_in, n_groups,
-                                                   group_size)
-                imgs = jnp.repeat(img, n_groups, axis=0)
+                    for aug in augs:
+                        aug.state = engine.init_state(n_groups, aug.grid)
                 obj_nums = jnp.full((n_groups,), group_size, jnp.int32)
-                state = engine.add_reference_frame(
-                    self.params, state, imgs,
-                    jnp.asarray(group_masks.astype(np.int32)), obj_nums)
+                self._add_ref_all(engine, augs, samples, pred_ori, n_groups,
+                                  obj_nums)
             else:
-                label_in = self._label_at(pred_ori, in_size, nearest=True)
-                group_masks = separate_mask_groups(label_in, n_groups,
-                                                   group_size)
-                state = engine.update_memory(
-                    self.params, state,
-                    jnp.asarray(group_masks.astype(np.int32)))
+                for aug, sample in zip(augs, samples):
+                    lbl = pred_ori[:, ::-1] if aug.flip else pred_ori
+                    label_in = self._label_at(lbl, aug.in_size)
+                    groups = separate_mask_groups(label_in, n_groups,
+                                                  group_size)
+                    aug.state = engine.update_memory(
+                        self.params, aug.state,
+                        jnp.asarray(groups.astype(np.int32)))
 
-            jax.block_until_ready(state.bank.length)
+            jax.block_until_ready(augs[0].state.bank.length)
             total_time += time.perf_counter() - t0
             timed_frames += 1
 
             out_path = os.path.join(
                 self.result_root, seq_name,
-                os.path.splitext(sample.name)[0] + '.png')
+                os.path.splitext(base.name)[0] + '.png')
             pending_masks.append((pred_ori, out_path, list(obj_idx)))
 
         for mask, path, oidx in pending_masks:
@@ -214,6 +243,7 @@ class Evaluator:
 
     @staticmethod
     def _label_at(label: np.ndarray, size, nearest: bool = True):
+        label = np.ascontiguousarray(label)
         if label.shape[:2] == tuple(size):
             return label.astype(np.uint8)
         import cv2

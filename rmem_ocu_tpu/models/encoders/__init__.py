@@ -23,6 +23,10 @@ def build_encoder(name: str, frozen_bn: bool = True, freeze_at: int = 0):
         return MobileNetV3Encoder(name='encoder')
     if name == 'resnet50':
         return ResNetEncoder(layers=(3, 4, 6), name='encoder')
+    if 'resnet50_topdown' in name:
+        from rmem_ocu_tpu.models.encoders.resnet_topdown import (
+            ResNetTopDownEncoder)
+        return ResNetTopDownEncoder(layers=(3, 4, 6), name='encoder')
     if name == 'resnet101':
         return ResNetEncoder(layers=(3, 4, 23), name='encoder')
     if name == 'swin_base':

@@ -108,16 +108,27 @@ class GPMBlock(nn.Module):
             q_time = curr_q + cur_pe
         else:
             q_time = curr_q
-        flat_k = mem_k.reshape(b, capacity * hw, -1)
-        flat_v = jnp.concatenate([
-            mem_v.reshape(b, capacity * hw, -1),
-            mem_id_v.reshape(b, capacity * hw, -1)], axis=-1)
-        bias = (None if capacity == 1
-                else bank_key_bias(length, capacity, hw))
-        cat_tgt2, probs = self.long_term_attn(
-            q_time, flat_k, flat_v, cat_curr_u, size_2d, key_bias=bias,
-            return_probs=need_mass, deterministic=deterministic)
-        mass = frame_mass_from_probs(probs, capacity) if need_mass else None
+        from rmem_ocu_tpu.ops.attention import pallas_memory_read_enabled
+        # eval-only: no VJP is defined for the fused kernel
+        if capacity > 1 and deterministic and pallas_memory_read_enabled():
+            cat_bank_v = jnp.concatenate([mem_v, mem_id_v], axis=-1)
+            cat_tgt2, mass = self.long_term_attn.bank_read(
+                q_time, mem_k, cat_bank_v, cat_curr_u, length, size_2d,
+                deterministic=deterministic)
+            if not need_mass:
+                mass = None
+        else:
+            flat_k = mem_k.reshape(b, capacity * hw, -1)
+            flat_v = jnp.concatenate([
+                mem_v.reshape(b, capacity * hw, -1),
+                mem_id_v.reshape(b, capacity * hw, -1)], axis=-1)
+            bias = (None if capacity == 1
+                    else bank_key_bias(length, capacity, hw))
+            cat_tgt2, probs = self.long_term_attn(
+                q_time, flat_k, flat_v, cat_curr_u, size_2d, key_bias=bias,
+                return_probs=need_mass, deterministic=deterministic)
+            mass = (frame_mass_from_probs(probs, capacity)
+                    if need_mass else None)
 
         cat_local_v = jnp.concatenate([local_v, local_id_v], axis=-1)
         cat_tgt3, _ = self.short_term_attn(

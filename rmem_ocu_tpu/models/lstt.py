@@ -130,15 +130,25 @@ class LSTTBlock(nn.Module):
             q_time = curr_q + cur_pe
         else:
             q_time = curr_q
-        flat_k = mem_k.reshape(mem_k.shape[0], capacity * hw, -1)
-        flat_v = mem_v.reshape(mem_v.shape[0], capacity * hw, -1)
-        bias = (None if capacity == 1
-                else bank_key_bias(length, capacity, hw))
-        tgt2, probs = self.long_term_attn(q_time, flat_k, flat_v,
-                                          key_bias=bias,
-                                          return_probs=need_mass)
-        mass = (frame_mass_from_probs(probs, capacity)
-                if need_mass else None)
+        from rmem_ocu_tpu.ops.attention import pallas_memory_read_enabled
+        # eval-only: no VJP is defined for the fused kernel
+        if capacity > 1 and deterministic and pallas_memory_read_enabled():
+            # fused kernel: attention + per-slot eviction mass in one pass,
+            # empty slots skipped
+            tgt2, mass = self.long_term_attn.bank_read(
+                q_time, mem_k, mem_v, length)
+            if not need_mass:
+                mass = None
+        else:
+            flat_k = mem_k.reshape(mem_k.shape[0], capacity * hw, -1)
+            flat_v = mem_v.reshape(mem_v.shape[0], capacity * hw, -1)
+            bias = (None if capacity == 1
+                    else bank_key_bias(length, capacity, hw))
+            tgt2, probs = self.long_term_attn(q_time, flat_k, flat_v,
+                                              key_bias=bias,
+                                              return_probs=need_mass)
+            mass = (frame_mass_from_probs(probs, capacity)
+                    if need_mass else None)
 
         # --- short-term attention (reference :650-662) ---
         if self.linear_q:

@@ -60,6 +60,17 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
     return (out, probs) if return_probs else (out, None)
 
 
+def pallas_memory_read_enabled() -> bool:
+    """Use the fused Pallas bank-attention kernel for long-term reads.
+    Defaults to on for TPU backends; override with RMEM_PALLAS=0/1."""
+    import os
+    env = os.environ.get('RMEM_PALLAS')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    import jax
+    return jax.default_backend() == 'tpu'
+
+
 class MultiheadAttention(nn.Module):
     """Reference: attention.py:8-86. use_linear controls Q/K/V projections;
     the output projection always exists."""
@@ -68,18 +79,32 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     use_linear: bool = True
 
-    @nn.compact
+    def setup(self):
+        if self.use_linear:
+            self.linear_Q = nn.Dense(self.d_model)
+            self.linear_K = nn.Dense(self.d_model)
+            self.linear_V = nn.Dense(self.d_model)
+        self.projection = nn.Dense(self.d_model)
+
     def __call__(self, q, k, v, key_bias=None, return_probs: bool = False,
                  deterministic: bool = True):
         if self.use_linear:
-            q = nn.Dense(self.d_model, name='linear_Q')(q)
-            k = nn.Dense(self.d_model, name='linear_K')(k)
-            v = nn.Dense(self.d_model, name='linear_V')(v)
+            q = self.linear_Q(q)
+            k = self.linear_K(k)
+            v = self.linear_V(v)
         out, probs = scaled_dot_attention(q, k, v, self.num_heads,
                                           key_bias=key_bias,
                                           return_probs=return_probs)
-        out = nn.Dense(self.d_model, name='projection')(out)
-        return out, probs
+        return self.projection(out), probs
+
+    def bank_read(self, q, k_bank, v_bank, length, want_mass: bool = True):
+        """Fused Pallas memory read: k_bank/v_bank [B, T, HW, C], length [B].
+        Returns (projected out, mass [B, HWq, T])."""
+        from rmem_ocu_tpu.ops.pallas.memory_read import memory_read_multihead
+        scale = (self.d_model // self.num_heads) ** -0.5
+        raw, mass = memory_read_multihead(q, k_bank, v_bank, length,
+                                          self.num_heads, scale)
+        return self.projection(raw.astype(q.dtype)), mass
 
 
 class GatedPropagation(nn.Module):
@@ -96,44 +121,69 @@ class GatedPropagation(nn.Module):
     use_linear: bool = True
     dropout: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        from rmem_ocu_tpu.ops.layers import DWConv2d
+        self.expand_d_vu = int(self.d_vu * self.expand_ratio)
+        self.hidden = self.expand_d_vu // self.num_heads
+        self.att_dim = (self.d_qk // self.num_heads if self.d_att is None
+                        else self.d_att)
+        if self.use_linear:
+            self.linear_QK = nn.Dense(self.att_dim * self.num_heads)
+            half = self.hidden * self.num_heads // 2
+            self.linear_V1 = nn.Dense(half)
+            self.linear_V2 = nn.Dense(half)
+            self.linear_U1 = nn.Dense(half)
+            self.linear_U2 = nn.Dense(half)
+        self.dw_conv = DWConv2d(self.expand_d_vu)
+        self.projection = nn.Dense(self.d_vu)
+
+    def _project_inputs(self, q, v, u):
+        half = self.hidden * self.num_heads // 2
+
+        def cat_half(x1, x2):
+            # interleave per head (reference attention.py:154-162)
+            if self.num_heads > 1:
+                b, l, _ = x1.shape
+                x1 = x1.reshape(b, l, self.num_heads, half // self.num_heads)
+                x2 = x2.reshape(b, l, self.num_heads, half // self.num_heads)
+                return jnp.concatenate([x1, x2], -1).reshape(b, l, -1)
+            return jnp.concatenate([x1, x2], -1)
+
+        q = self.linear_QK(q)
+        v1, v2 = jnp.split(v, 2, axis=-1)
+        v = jax.nn.silu(cat_half(self.linear_V1(v1), self.linear_V2(v2)))
+        u1, u2 = jnp.split(u, 2, axis=-1)
+        u = jax.nn.silu(cat_half(self.linear_U1(u1), self.linear_U2(u2)))
+        return q, v, u
+
+    def _gate_and_project(self, out, u, size_2d, deterministic):
+        out = out * u
+        out = self.dw_conv(out, size_2d, deterministic)
+        return self.projection(out)
+
     def __call__(self, q, k, v, u, size_2d: Tuple[int, int], key_bias=None,
                  return_probs: bool = False, deterministic: bool = True):
-        from rmem_ocu_tpu.ops.layers import DWConv2d
-        expand_d_vu = int(self.d_vu * self.expand_ratio)
-        hidden = expand_d_vu // self.num_heads
-        d_att = (self.d_qk // self.num_heads if self.d_att is None
-                 else self.d_att)
-
         if self.use_linear:
-            q = k = nn.Dense(d_att * self.num_heads, name='linear_QK')(q)
-            half = hidden * self.num_heads // 2
-
-            def cat_half(x1, x2):
-                # interleave per head (reference attention.py:154-162)
-                if self.num_heads > 1:
-                    b, l, _ = x1.shape
-                    x1 = x1.reshape(b, l, self.num_heads, half // self.num_heads)
-                    x2 = x2.reshape(b, l, self.num_heads, half // self.num_heads)
-                    return jnp.concatenate([x1, x2], -1).reshape(b, l, -1)
-                return jnp.concatenate([x1, x2], -1)
-
-            v1, v2 = jnp.split(v, 2, axis=-1)
-            v = jax.nn.silu(cat_half(nn.Dense(half, name='linear_V1')(v1),
-                                     nn.Dense(half, name='linear_V2')(v2)))
-            u1, u2 = jnp.split(u, 2, axis=-1)
-            u = jax.nn.silu(cat_half(nn.Dense(half, name='linear_U1')(u1),
-                                     nn.Dense(half, name='linear_U2')(u2)))
-
+            q, v, u = self._project_inputs(q, v, u)
+            k = q
         out, probs = scaled_dot_attention(q, k, v, self.num_heads,
-                                          scale=d_att ** -0.5,
+                                          scale=self.att_dim ** -0.5,
                                           key_bias=key_bias,
                                           return_probs=return_probs)
-        out = out * u
-        out = DWConv2d(expand_d_vu, name='dw_conv')(out, size_2d,
-                                                    deterministic)
-        out = nn.Dense(self.d_vu, name='projection')(out)
+        out = self._gate_and_project(out, u, size_2d, deterministic)
         return out, probs
+
+    def bank_read(self, q, k_bank, v_bank, u, length, size_2d,
+                  deterministic: bool = True):
+        """Fused Pallas memory read (use_linear=False path):
+        k_bank [B,T,HW,Datt], v_bank [B,T,HW,Dv]. Returns (out, mass)."""
+        from rmem_ocu_tpu.ops.pallas.memory_read import memory_read_multihead
+        raw, mass = memory_read_multihead(q, k_bank, v_bank, length,
+                                          self.num_heads,
+                                          self.att_dim ** -0.5)
+        out = self._gate_and_project(raw.astype(q.dtype), u, size_2d,
+                                     deterministic)
+        return out, mass
 
 
 @functools.lru_cache(maxsize=32)

@@ -1,0 +1,106 @@
+"""Evaluation CLI.
+
+Reference: aot_plus/tools/eval.py (mp.spawn + queue work-stealing). Here one
+process per host; sequences are statically sharded by host index.
+
+Example:
+    python -m rmem_ocu_tpu.tools.eval --stage pre_vost_2 --model r50_deaotl \
+        --dataset vost --data_root ./datasets/VOST --ckpt_path model.pth
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from dataclasses import replace
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Evaluate VOS (TPU-native)')
+    p.add_argument('--exp_name', type=str, default='default')
+    p.add_argument('--stage', type=str, default='pre_vost_2')
+    p.add_argument('--model', type=str, default='r50_deaotl')
+    p.add_argument('--dataset', type=str, default='vost',
+                   choices=['davis2016', 'davis2017', 'youtubevos', 'vost',
+                            'long_videos', 'test'])
+    p.add_argument('--split', type=str, default='val')
+    p.add_argument('--data_root', type=str, default=None)
+    p.add_argument('--ckpt_path', type=str, default=None,
+                   help='orbax ckpt dir or reference .pth')
+    p.add_argument('--output', type=str, default=None)
+    p.add_argument('--max_size', type=float, default=480 * 1.3)
+    p.add_argument('--flip', action='store_true')
+    p.add_argument('--ms', nargs='+', type=float, default=[1.0])
+    p.add_argument('--former_mem_len', type=int, default=None)
+    p.add_argument('--latter_mem_len', type=int, default=None)
+    p.add_argument('--gap', type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from rmem_ocu_tpu.config import get_config
+    from rmem_ocu_tpu.data import eval_datasets as ds
+    from rmem_ocu_tpu.eval.evaluator import Evaluator
+    from rmem_ocu_tpu.models import build_vos_model
+    from rmem_ocu_tpu.utils import checkpoint as ckpt
+
+    exp = get_config(args.stage, args.exp_name, args.model)
+    model_overrides = {}
+    if args.former_mem_len is not None:
+        model_overrides['former_mem_len'] = args.former_mem_len
+    if args.latter_mem_len is not None:
+        model_overrides['latter_mem_len'] = args.latter_mem_len
+    if model_overrides:
+        exp = replace(exp, model=replace(exp.model, **model_overrides))
+    if args.gap is not None:
+        exp = replace(exp, test_long_term_mem_gap=args.gap)
+
+    cfg = exp.model
+    model = build_vos_model(cfg)
+    size = 65
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 3)),
+                        jnp.zeros((1, size, size, cfg.id_dim)))
+    if args.ckpt_path:
+        if args.ckpt_path.endswith('.pth'):
+            params = ckpt.load_torch_pretrained(args.ckpt_path, params, cfg)
+        else:
+            from rmem_ocu_tpu.train.trainer import TrainState
+            state, step = ckpt.restore_checkpoint(args.ckpt_path, None)
+            params = state['ema_params'] if isinstance(state, dict) else \
+                state.ema_params
+            print(f'loaded EMA params from step {step}')
+
+    output = args.output or os.path.join(exp.dir_result(), 'eval',
+                                         args.dataset)
+    os.makedirs(output, exist_ok=True)
+
+    seq_kw = dict(max_size=args.max_size, align_corners=cfg.align_corners,
+                  multi_scale=tuple(args.ms), flip=args.flip)
+    root = args.data_root or exp.dir_data
+    if args.dataset in ('davis2016', 'davis2017'):
+        year = 2016 if args.dataset == 'davis2016' else 2017
+        dataset = ds.build_davis_dataset(root, args.split, year,
+                                         result_root=output, **seq_kw)
+    elif args.dataset == 'vost':
+        dataset = ds.build_vost_dataset(root, args.split,
+                                        result_root=output, **seq_kw)
+    elif args.dataset == 'youtubevos':
+        dataset = ds.build_youtubevos_dataset(root, split=args.split,
+                                              result_root=output, **seq_kw)
+    elif args.dataset == 'long_videos':
+        dataset = ds.build_long_videos_dataset(root, result_root=output,
+                                               **seq_kw)
+    else:
+        dataset = ds.build_synthetic_dataset(num_seqs=2)
+
+    ev = Evaluator(model, params, exp, output,
+                   rank=jax.process_index(), world=jax.process_count())
+    stats = ev.evaluate(dataset)
+    print(f'done: {stats.total_frames} frames, results in {output}')
+
+
+if __name__ == '__main__':
+    main()

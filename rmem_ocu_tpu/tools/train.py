@@ -1,0 +1,141 @@
+"""Training CLI.
+
+Reference: aot_plus/tools/train.py (argparse + mp.spawn + Trainer). One
+process drives all local TPU chips through a data mesh; multi-host runs use
+jax.distributed (one process per host) with the same code path.
+
+Example:
+    python -m rmem_ocu_tpu.tools.train --stage pre_vost --model r50_deaotl \
+        --exp_name rmem --batch_size 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from dataclasses import replace
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Train VOS (TPU-native)')
+    p.add_argument('--exp_name', type=str, default='default')
+    p.add_argument('--stage', type=str, default='pre_vost')
+    p.add_argument('--model', type=str, default='r50_deaotl')
+    p.add_argument('--batch_size', type=int, default=None)
+    p.add_argument('--total_steps', type=int, default=None)
+    p.add_argument('--lr', type=float, default=None)
+    p.add_argument('--datasets', nargs='+', default=None)
+    p.add_argument('--data_root', type=str, default=None)
+    p.add_argument('--pretrained_path', type=str, default=None)
+    p.add_argument('--log_step', type=int, default=None)
+    p.add_argument('--save_step', type=int, default=None)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--crop_size', type=int, default=None)
+    p.add_argument('--fix_random', action='store_true')
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from rmem_ocu_tpu.config import get_config
+    from rmem_ocu_tpu.data.train_datasets import (TrainDataLoader,
+                                                  build_train_dataset)
+    from rmem_ocu_tpu.models import build_vos_model
+    from rmem_ocu_tpu.train import Trainer
+    from rmem_ocu_tpu.utils import checkpoint as ckpt
+
+    exp = get_config(args.stage, args.exp_name, args.model)
+    overrides = {}
+    if args.batch_size:
+        overrides['train_batch_size'] = args.batch_size
+    if args.total_steps:
+        overrides['train_total_steps'] = args.total_steps
+    if args.lr:
+        overrides['train_lr'] = args.lr
+    if args.datasets:
+        overrides['datasets'] = tuple(args.datasets)
+    if args.data_root:
+        overrides['dir_data'] = args.data_root
+    if args.pretrained_path:
+        overrides['pretrain_model'] = args.pretrained_path
+    if args.log_step:
+        overrides['train_log_step'] = args.log_step
+    if args.save_step:
+        overrides['train_save_step'] = args.save_step
+    if args.crop_size:
+        overrides['data_randomcrop'] = (args.crop_size, args.crop_size)
+    if overrides:
+        exp = replace(exp, **overrides)
+
+    result_dir = exp.dir_result()
+    ckpt_dir = os.path.join(result_dir, 'ckpt')
+    ema_dir = os.path.join(result_dir, 'ema_ckpt')
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(ema_dir, exist_ok=True)
+    with open(os.path.join(result_dir, 'config.json'), 'w') as f:
+        json.dump({k: str(v) for k, v in vars(exp).items()}, f, indent=2)
+
+    model = build_vos_model(exp.model)
+    trainer = Trainer(model, exp)
+    n_dev = trainer.mesh.devices.size
+    per_host_batch = exp.train_batch_size
+    assert per_host_batch % n_dev == 0 or per_host_batch >= n_dev, \
+        f'batch {per_host_batch} not divisible over {n_dev} devices'
+
+    dataset = build_train_dataset(exp)
+    loader = TrainDataLoader(dataset, per_host_batch, seed=args.seed,
+                             rank=jax.process_index(),
+                             world=jax.process_count(),
+                             num_workers=exp.data_workers)
+    data_iter = iter(loader)
+
+    batch0 = next(data_iter)
+    state = trainer.init_state(jax.random.PRNGKey(args.seed),
+                               jnp.asarray(batch0['frames']),
+                               jnp.asarray(batch0['masks']))
+
+    # pretrained / resume (reference trainer.py:186-284)
+    restored, step0 = (ckpt.restore_checkpoint(ckpt_dir, state)
+                       if exp.train_auto_resume else (None, None))
+    if restored is not None:
+        state = restored
+        print(f'resumed from step {step0}')
+    elif exp.pretrain and exp.pretrain_model:
+        params = ckpt.load_torch_pretrained(
+            exp.pretrain_model, state.params, exp.model,
+            full=exp.pretrain_full)
+        state = state.replace(params=params,
+                              ema_params=jax.tree.map(jnp.copy, params))
+        print(f'loaded pretrained {exp.pretrain_model}')
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    log_t0 = time.time()
+    batch = batch0
+    while int(state.step) < exp.train_total_steps:
+        rng, step_rng = jax.random.split(rng)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = trainer.train_step(state, jb, step_rng)
+        batch = next(data_iter)
+
+        step = int(state.step)
+        if step % exp.train_log_step == 0:
+            dt = time.time() - log_t0
+            log_t0 = time.time()
+            print(f'step {step}/{exp.train_total_steps} '
+                  f'loss {float(metrics["loss"]):.4f} '
+                  f'lr {float(metrics["lr"]):.2e} '
+                  f'({exp.train_log_step / max(dt, 1e-9):.2f} it/s)',
+                  flush=True)
+        if step % exp.train_save_step == 0 and jax.process_index() == 0:
+            ckpt.save_checkpoint(ckpt_dir, step, state,
+                                 exp.train_max_keep_ckpt)
+            print(f'saved step {step}')
+
+
+if __name__ == '__main__':
+    main()

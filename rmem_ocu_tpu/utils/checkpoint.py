@@ -1,0 +1,94 @@
+"""Checkpoint I/O.
+
+Reference: aot_plus/utils/checkpoint.py — save {state_dict, optimizer,
+scaler} as save_step_<N>.pth with max-keep pruning (:107-141) and tolerant
+loading (prefix-strip, shape filter, id-bank channel padding :75-104).
+Here: Orbax for native checkpoints (multi-host safe), plus a one-way torch
+.pth loader through utils/torch_convert for the published pretrained models.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ckpt_dir(root: str) -> str:
+    return os.path.abspath(root)
+
+
+def save_checkpoint(root: str, step: int, state, max_keep: int = 8):
+    """Save TrainState at `root/step_<N>`; prune to max_keep newest."""
+    import orbax.checkpoint as ocp
+    path = os.path.join(_ckpt_dir(root), f'step_{step}')
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    steps = list_checkpoint_steps(root)
+    for s in steps[:-max_keep]:
+        import shutil
+        shutil.rmtree(os.path.join(_ckpt_dir(root), f'step_{s}'),
+                      ignore_errors=True)
+
+
+def list_checkpoint_steps(root: str):
+    if not os.path.isdir(root):
+        return []
+    steps = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r'step_(\d+)', name)
+        if m:
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def restore_checkpoint(root: str, target, step: Optional[int] = None):
+    """Restore the given (or latest) step into the `target` pytree
+    structure. Returns (state, step) or (None, None)."""
+    import orbax.checkpoint as ocp
+    steps = list_checkpoint_steps(root)
+    if not steps:
+        return None, None
+    step = steps[-1] if step is None else step
+    path = os.path.join(_ckpt_dir(root), f'step_{step}')
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path, target)
+    return state, step
+
+
+def load_torch_pretrained(path: str, flax_params, model_cfg,
+                          full: bool = True, strict: bool = False):
+    """Load a reference .pth checkpoint into the flax param tree.
+
+    Handles the reference's tolerant-load quirks (utils/checkpoint.py:75-104):
+    'module.' prefix stripping and the id-bank input-channel pad when the
+    checkpoint predates the ignore token (:89-91).
+    """
+    import torch
+    from rmem_ocu_tpu.utils.torch_convert import convert_torch_params
+
+    blob = torch.load(path, map_location='cpu', weights_only=False)
+    sd = blob.get('state_dict', blob) if isinstance(blob, dict) else blob
+    sd = {k[len('module.'):] if k.startswith('module.') else k: v
+          for k, v in sd.items()}
+
+    # id-bank ignore-token channel pad (reference :89-91): the one-hot input
+    # gained a channel; pad the conv weight with zeros on the input axis.
+    key = 'patch_wise_id_bank.weight'
+    if key in sd:
+        w = sd[key]
+        want_in = model_cfg.id_dim
+        if w.shape[1] == want_in - 1:
+            import torch as _t
+            pad = _t.zeros(w.shape[0], 1, w.shape[2], w.shape[3])
+            sd[key] = _t.cat([w, pad], dim=1)
+
+    params, missing = convert_torch_params(sd, flax_params, model_cfg,
+                                           strict=strict)
+    if missing:
+        print(f'load_torch_pretrained: {len(missing)} params kept at init '
+              f'(shape/name mismatch), e.g. {missing[:3]}')
+    return params

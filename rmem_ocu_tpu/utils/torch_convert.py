@@ -68,6 +68,25 @@ def _flax_key_to_torch(path: tuple, cfg) -> str:
         m = re.fullmatch(r'block_(\d+)', p)
         if m:
             out.append(f'layers.{m.group(1)}')
+        # --- Swin (reference encoders/swin/swin_transformer.py) ---
+        elif p == 'patch_embed':
+            out.append('patch_embed.proj')
+        elif p == 'patch_norm':
+            out.append('patch_embed.norm')
+        elif (m := re.fullmatch(r'stage(\d+)_block(\d+)', p)):
+            out.append(f'layers.{m.group(1)}.blocks.{m.group(2)}')
+        elif (m := re.fullmatch(r'mlp_fc(\d)', p)):
+            out.append(f'mlp.fc{m.group(1)}')
+        elif (m := re.fullmatch(r'downsample(\d+)', p)):
+            out.append(f'layers.{m.group(1)}.downsample')
+        elif (m := re.fullmatch(r'out_norm(\d+)', p)):
+            out.append(f'norm{m.group(1)}')
+        # --- ResNeSt deep stem (reference encoders/resnest/resnet.py) ---
+        elif (m := re.fullmatch(r'stem_conv(\d)', p)):
+            out.append(f'conv1.{(int(m.group(1)) - 1) * 3}')
+        elif (m := re.fullmatch(r'stem_bn(\d)', p)):
+            n = int(m.group(1))
+            out.append('bn1' if n == 3 else f'conv1.{(n - 1) * 3 + 1}')
         elif (m := re.fullmatch(r'decoder_norm_(\d+)', p)):
             out.append(f'decoder_norms.{m.group(1)}')
             # GPM decoder norms are GroupNorm1D wrappers with an inner .gn
@@ -77,9 +96,12 @@ def _flax_key_to_torch(path: tuple, cfg) -> str:
         elif (m := re.fullmatch(r'layer(\d)_(\d+)', p)):
             out.append(f'layer{m.group(1)}.{m.group(2)}')
         elif p == 'downsample_conv':
-            out.append('downsample.0')
+            # ResNeSt avg-down prepends an AvgPool (resnest/resnet.py:330-352)
+            out.append('downsample.1' if 'resnest' in cfg.encoder
+                       else 'downsample.0')
         elif p == 'downsample_bn':
-            out.append('downsample.1')
+            out.append('downsample.2' if 'resnest' in cfg.encoder
+                       else 'downsample.1')
         elif p == 'lstt':
             out.append('LSTT')
         elif p == 'gn' and i > 0 and parts[i - 1].startswith('norm'):
@@ -104,7 +126,8 @@ def _convert_leaf(flax_path: tuple, flax_val, sd: Dict, torch_prefix: str):
         return w.reshape(shape)
     if leaf == 'scale':
         return _t2n(sd[f'{torch_prefix}.weight']).reshape(shape)
-    if leaf in ('bias', 'weight', 'running_mean', 'running_var'):
+    if leaf in ('bias', 'weight', 'running_mean', 'running_var',
+                'relative_position_bias_table'):
         return _t2n(sd[f'{torch_prefix}.{leaf}']).reshape(shape)
     raise KeyError(f'unhandled leaf {flax_path}')
 
