@@ -9,13 +9,14 @@ stride-16(+1) grid, multi-object (3 objects, one batched id pass).
 
 Prints ONE JSON line: frames/sec/chip vs the 60 fps north-star target.
 """
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main():
+def main(streams: int = 1):
     import jax
     import jax.numpy as jnp
     from rmem_ocu_tpu.config import get_config
@@ -28,19 +29,20 @@ def main():
     cfg = exp.model
     model = build_vos_model(cfg)
 
+    B = streams
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.randn(1, H, W, 3), jnp.float32)
-    mask = jnp.asarray((rng.rand(1, H, W) * 4).astype(np.int32))
-    params = model.init(jax.random.PRNGKey(0), img,
+    img = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, H, W) * 4).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), img[:1],
                         jnp.zeros((1, H, W, cfg.id_dim)))
 
     engine = InferEngine(model, exp, long_term_mem_gap=5)
     h16, w16 = (H - 1) // 16 + 1, (W - 1) // 16 + 1
-    state = engine.init_state(1, (h16, w16))
+    state = engine.init_state(B, (h16, w16))
     state = engine.add_reference_frame(params, state, img, mask,
-                                       jnp.array([3], jnp.int32))
+                                       jnp.full((B,), 3, jnp.int32))
 
-    frames = [jnp.asarray(rng.randn(1, H, W, 3), jnp.float32)
+    frames = [jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
               for _ in range(8)]
 
     @jax.jit
@@ -61,10 +63,11 @@ def main():
         pred, state = frame_step(params, state, frames[i % len(frames)])
     jax.block_until_ready(pred)
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    fps = n_iters * B / dt
 
+    suffix = '' if B == 1 else f'_{B}streams'
     print(json.dumps({
-        'metric': 'davis17_480p_multiobj_fps_per_chip',
+        'metric': f'davis17_480p_multiobj_fps_per_chip{suffix}',
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 60.0, 3),
@@ -72,4 +75,9 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    p = argparse.ArgumentParser()
+    p.add_argument('--streams', type=int, default=1,
+                   help='concurrent 480p streams with per-stream memory '
+                        'banks (BASELINE.json configs[4])')
+    args = p.parse_args()
+    main(streams=args.streams)
