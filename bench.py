@@ -79,5 +79,14 @@ if __name__ == '__main__':
     p.add_argument('--streams', type=int, default=1,
                    help='concurrent 480p streams with per-stream memory '
                         'banks (BASELINE.json configs[4])')
+    p.add_argument('--profile', type=str, default=None,
+                   help='write a jax.profiler trace to this directory '
+                        '(replaces the reference CUDA-event timing, '
+                        'evaluator.py:400-404)')
     args = p.parse_args()
-    main(streams=args.streams)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            main(streams=args.streams)
+    else:
+        main(streams=args.streams)

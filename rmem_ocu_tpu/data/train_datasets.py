@@ -354,6 +354,25 @@ class StaticTrainDataset:
                               borderValue=0)
         return img, mask
 
+    @staticmethod
+    def _color_jitter(img, rng, brightness=0.1, contrast=0.1,
+                      saturation=0.1, hue=0.03):
+        """torchvision-style ColorJitter (reference train_datasets.py:147)."""
+        import cv2
+        img = img * rng.uniform(1 - brightness, 1 + brightness)
+        mean = img.mean()
+        img = (img - mean) * rng.uniform(1 - contrast, 1 + contrast) + mean
+        gray = img.mean(axis=-1, keepdims=True)
+        img = (img - gray) * rng.uniform(1 - saturation,
+                                         1 + saturation) + gray
+        img = np.clip(img, 0, 255).astype(np.float32)
+        hsv = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2HSV)
+        hsv = hsv.astype(np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(rng.uniform(-hue, hue) * 180)) % 180
+        img = cv2.cvtColor(hsv.astype(np.uint8),
+                           cv2.COLOR_HSV2RGB).astype(np.float32)
+        return img
+
     def get(self, idx, rng: np.random.RandomState) -> Dict:
         from rmem_ocu_tpu.data.video_transforms import (
             normalize_stack, balanced_random_crop, random_horizontal_flip,
@@ -363,7 +382,11 @@ class StaticTrainDataset:
         mask = np.minimum(mask, self.max_obj_n)
         frames, labels = [], []
         for i in range(self.seq_len):
-            f, m = (img, mask) if i == 0 else self._affine(img, mask, rng)
+            if i == 0:
+                f, m = img, mask
+            else:
+                f = self._color_jitter(img, rng)
+                f, m = self._affine(f, mask, rng)
             frames.append(f)
             labels.append(m)
         sample = {'frames': frames, 'labels': labels,

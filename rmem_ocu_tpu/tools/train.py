@@ -35,12 +35,18 @@ def parse_args():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--crop_size', type=int, default=None)
     p.add_argument('--fix_random', action='store_true')
+    p.add_argument('--multihost', action='store_true',
+                   help='initialize jax.distributed (one process per host; '
+                        'replaces the reference mp.spawn + gloo DDP, '
+                        'trainer.py:94-113)')
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
     from rmem_ocu_tpu.config import get_config
     from rmem_ocu_tpu.data.train_datasets import (TrainDataLoader,
@@ -115,6 +121,7 @@ def main():
 
     rng = jax.random.PRNGKey(args.seed + 1)
     log_t0 = time.time()
+    metrics_path = os.path.join(result_dir, 'metrics.jsonl')
     batch = batch0
     while int(state.step) < exp.train_total_steps:
         rng, step_rng = jax.random.split(rng)
@@ -126,11 +133,19 @@ def main():
         if step % exp.train_log_step == 0:
             dt = time.time() - log_t0
             log_t0 = time.time()
+            row = {'step': step,
+                   'loss': round(float(metrics['loss']), 5),
+                   'aux_loss': round(float(metrics['aux_loss']), 5),
+                   'pred_loss': round(float(metrics['pred_loss']), 5),
+                   'lr': float(metrics['lr']),
+                   'grad_norm': round(float(metrics['grad_norm']), 3),
+                   'it_per_s': round(exp.train_log_step / max(dt, 1e-9), 3)}
             print(f'step {step}/{exp.train_total_steps} '
-                  f'loss {float(metrics["loss"]):.4f} '
-                  f'lr {float(metrics["lr"]):.2e} '
-                  f'({exp.train_log_step / max(dt, 1e-9):.2f} it/s)',
-                  flush=True)
+                  f'loss {row["loss"]:.4f} lr {row["lr"]:.2e} '
+                  f'({row["it_per_s"]:.2f} it/s)', flush=True)
+            if jax.process_index() == 0:
+                with open(metrics_path, 'a') as f:
+                    f.write(json.dumps(row) + '\n')
         if step % exp.train_save_step == 0 and jax.process_index() == 0:
             ckpt.save_checkpoint(ckpt_dir, step, state,
                                  exp.train_max_keep_ckpt)

@@ -62,6 +62,24 @@ def test_single_train_step(setup):
         np.asarray(bn0['params']['encoder']['feat_0']['bn']['running_mean']))
 
 
+def test_deaot_train_step():
+    """DeAOT family training episode (GPM memories + id-value fusion)."""
+    from dataclasses import replace
+    exp = get_config('pre_vost', model='deaott')
+    exp = replace(exp, train_total_steps=100, data_seq_len=3)
+    model = build_vos_model(exp.model)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ('data',))
+    trainer = Trainer(model, exp, mesh=mesh)
+    batch = _batch(1, seed=5)
+    batch = {**batch, 'frames': batch['frames'][:, :3],
+             'masks': batch['masks'][:, :3]}
+    state = trainer.init_state(jax.random.PRNGKey(0), batch['frames'],
+                               batch['masks'])
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['loss']))
+    assert float(metrics['grad_norm']) > 0
+
+
 def test_data_parallel_step_8dev(setup):
     exp, model = setup
     assert len(jax.devices()) == 8, 'conftest must provide 8 CPU devices'
