@@ -186,10 +186,13 @@ class Evaluator:
                                  0)
                 logits, aug.state = engine.propagate(self.params, aug.state,
                                                      img)
-                merged = soft_aggregate_group_logits(logits, base.obj_num,
-                                                     group_size)
-                logits_ori = interpolate_bilinear(merged, ori_size,
-                                                  cfg.align_corners)
+                # upsample per-group logits BEFORE the nonlinear soft
+                # aggregation, like the reference (match_propogate returns
+                # per-engine logits at output_size, aot_engine.py:704-712)
+                logits_up = interpolate_bilinear(logits, ori_size,
+                                                 cfg.align_corners)
+                logits_ori = soft_aggregate_group_logits(
+                    logits_up, base.obj_num, group_size)
                 if aug.flip:
                     logits_ori = logits_ori[:, :, ::-1]
                 prob = jax.nn.softmax(logits_ori.astype(jnp.float32), -1)
