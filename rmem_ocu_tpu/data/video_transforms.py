@@ -8,7 +8,7 @@ obj_num: int}; frame 0 is the reference frame.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

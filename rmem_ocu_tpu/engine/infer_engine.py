@@ -15,7 +15,6 @@ All three are jit-compiled once per input resolution.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import flax.struct
@@ -48,6 +47,10 @@ class EngineState:
     pred_logits_4x: jnp.ndarray                # [B, H4, W4, O+1]
     frame_step: jnp.ndarray                    # scalar int32
     last_mem_step: jnp.ndarray                 # scalar int32
+    mem_gap: jnp.ndarray                       # scalar int32 (long-term
+                                               # write interval; dynamic so
+                                               # per-sequence adaptive gaps
+                                               # share one compilation)
     obj_nums: jnp.ndarray                      # [B]
     # GRU-compression hidden states (AOT gru_memory), else None
     gru_hidden_k: Optional[jnp.ndarray]
@@ -97,7 +100,8 @@ class InferEngine:
         return ck, cv, with_id
 
     def init_state(self, batch: int, size_2d: Tuple[int, int],
-                   dtype=jnp.float32) -> EngineState:
+                   dtype=jnp.float32, mem_gap: Optional[int] = None
+                   ) -> EngineState:
         cfg = self.cfg
         hw = size_2d[0] * size_2d[1]
         ck, cv, with_id = self._dims()
@@ -120,6 +124,8 @@ class InferEngine:
                                      dtype),
             frame_step=jnp.zeros((), jnp.int32),
             last_mem_step=-jnp.ones((), jnp.int32),
+            mem_gap=jnp.asarray(mem_gap if mem_gap is not None else self.gap,
+                                jnp.int32),
             obj_nums=jnp.ones((batch,), jnp.int32),
             gru_hidden_k=zeros(ck) if gru else None,
             gru_hidden_v=zeros(cv) if gru else None,
@@ -260,7 +266,6 @@ class InferEngine:
         """mask: int [B, H, W] predicted (or [B, H, W, O+1] probabilities).
         Reference: engines/aot_engine.py:327-369 + transformer.py:269-436."""
         cfg = self.cfg
-        hw = state.bank.k.shape[3]
         if mask.ndim == 3 or mask.shape[-1] == 1:
             one_hot, ignore = one_hot_mask(mask, cfg.max_obj_num)
         else:
@@ -291,7 +296,7 @@ class InferEngine:
             return state.replace(short=short)
 
         # long-term write every `gap` frames (reference aot_engine.py:338-343)
-        do_long = state.frame_step - state.last_mem_step >= self.gap
+        do_long = state.frame_step - state.last_mem_step >= state.mem_gap
         size_2d = self._enc_size_2d(state)
 
         def long_update(operand):

@@ -10,7 +10,7 @@ without storing every intermediate.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.struct
 import jax
@@ -136,11 +136,12 @@ class TrainEngine:
         L = cfg.lstt_num
         cap = cfg.mem_bank_capacity
 
-        def lstt_step(p, emb16, long_mem, short_mem, id_emb, tpe):
+        def lstt_step(p, emb16, long_mem, short_mem, id_emb, tpe,
+                      step_rngs=None):
             return self.model.apply(
                 p, emb16, long_mem, short_mem, id_emb, self_pos, size_2d,
                 temporal_pe=tpe, need_mass=False, deterministic=False,
-                rngs=rngs, method=VOSModel.lstt_forward)
+                rngs=step_rngs or rngs, method=VOSModel.lstt_forward)
 
         def decode(p, inters, shortcuts, obj_nums):
             logits = self.model.apply(p, inters, shortcuts, rngs=rngs,
@@ -192,6 +193,9 @@ class TrainEngine:
         # --- frames 1..T-1 under scan ---
         def step_fn(carry: EpisodeCarry, inputs):
             t_idx, emb16, shortcuts, oh, ig, gt = inputs
+            # decorrelate stochastic-depth masks across frames
+            step_key = jax.random.fold_in(rng_drop, t_idx)
+            step_rngs = {'droppath': step_key, 'dropout': step_key}
             tpe = self._temporal_pe(params, carry.bank.length)
             if cfg.vos == 'deaot':
                 long_mem = (carry.bank.k, carry.bank.v, carry.bank.id_v,
@@ -202,7 +206,7 @@ class TrainEngine:
                 long_mem = (carry.bank.k, carry.bank.v, carry.bank.length)
                 short_mem = (k0, v0)
             inters, mems, _ = lstt_step(params, emb16, long_mem, short_mem,
-                                        None, tpe)
+                                        None, tpe, step_rngs=step_rngs)
             logits = decode(params, inters, shortcuts, obj_nums)
             loss = self._frame_loss(logits, gt, obj_nums, step, input_size)
 

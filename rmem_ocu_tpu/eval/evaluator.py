@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -95,7 +95,8 @@ class Evaluator:
     """Runs a full dataset; saves palette PNG masks under result_root."""
 
     def __init__(self, model: VOSModel, params, exp: ExpConfig,
-                 result_root: str, rank: int = 0, world: int = 1):
+                 result_root: str, rank: int = 0, world: int = 1,
+                 frame_log: bool = False):
         self.model = model
         self.params = params
         self.exp = exp
@@ -103,6 +104,13 @@ class Evaluator:
         self.result_root = result_root
         self.rank = rank
         self.world = world
+        # per-frame timing prints (reference TEST_FRAME_LOG,
+        # evaluator.py:530-536)
+        self.frame_log = frame_log
+        # one engine for the whole dataset: the adaptive per-sequence gap is
+        # dynamic state (EngineState.mem_gap), so sequences at the same
+        # resolution share compilations
+        self.engine = InferEngine(model, exp)
 
     def evaluate(self, dataset: EvalDataset, verbose: bool = True
                  ) -> EvalStats:
@@ -142,7 +150,7 @@ class Evaluator:
     def _eval_sequence(self, seq_name: str, seq, verbose: bool):
         exp, cfg = self.exp, self.cfg
         gap = adaptive_mem_gap(len(seq), exp.test_long_term_mem_gap)
-        engine = InferEngine(self.model, exp, long_term_mem_gap=gap)
+        engine = self.engine
         group_size = cfg.max_obj_num
 
         os.makedirs(os.path.join(self.result_root, seq_name), exist_ok=True)
@@ -172,7 +180,8 @@ class Evaluator:
                     in_size = s.image.shape[:2]
                     augs.append(_AugState(
                         state=engine.init_state(n_groups,
-                                                self._grid(in_size)),
+                                                self._grid(in_size),
+                                                mem_gap=gap),
                         flip=s.flip, in_size=in_size,
                         grid=self._grid(in_size)))
                 self._add_ref_all(engine, augs, samples, base.label,
@@ -212,7 +221,8 @@ class Evaluator:
                 if n_groups_new != n_groups:
                     n_groups = n_groups_new
                     for aug in augs:
-                        aug.state = engine.init_state(n_groups, aug.grid)
+                        aug.state = engine.init_state(n_groups, aug.grid,
+                                                      mem_gap=gap)
                 obj_nums = jnp.full((n_groups,), group_size, jnp.int32)
                 self._add_ref_all(engine, augs, samples, pred_ori, n_groups,
                                   obj_nums)
@@ -227,8 +237,13 @@ class Evaluator:
                         jnp.asarray(groups.astype(np.int32)))
 
             jax.block_until_ready(augs[0].state.bank.length)
-            total_time += time.perf_counter() - t0
+            frame_time = time.perf_counter() - t0
+            total_time += frame_time
             timed_frames += 1
+            if self.frame_log:
+                print(f'[rank {self.rank}] {seq_name} frame '
+                      f'{base.name.split(".")[0]} - Obj Num: '
+                      f'{base.obj_num}, Time: {int(frame_time * 1e3)}ms')
 
             out_path = os.path.join(
                 self.result_root, seq_name,

@@ -6,7 +6,6 @@ void-pixel, empty-union, and boundary-dilation conventions).
 """
 from __future__ import annotations
 
-import math
 import warnings
 
 import numpy as np

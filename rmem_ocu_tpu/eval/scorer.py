@@ -12,7 +12,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from glob import glob
 from math import floor
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -5,7 +5,7 @@ NHWC; bilinear upsampling matches torch's align_corners semantics exactly
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -4,8 +4,6 @@ Reference: aot_plus/networks/encoders/mobilenetv2.py:63-247. NHWC, frozen BN.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -4,10 +4,9 @@ Reference: aot_plus/networks/encoders/resnet.py:10-213. NHWC, frozen BN.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from rmem_ocu_tpu.ops.layers import FrozenBatchNorm
 

@@ -8,8 +8,6 @@ and layer-0's per-slot attention mass feeds RMem eviction.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -19,13 +19,11 @@ dead code and intentionally not reproduced.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from rmem_ocu_tpu.ops.attention import MultiheadAttention, scaled_dot_attention
+from rmem_ocu_tpu.ops.attention import MultiheadAttention
 from rmem_ocu_tpu.ops.layers import EPS, DropPath, GNActDWConv2d
 
 SLOT_NEG = -1e9

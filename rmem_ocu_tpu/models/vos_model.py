@@ -8,10 +8,7 @@ memory state *outside* the module as an explicit pytree.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from rmem_ocu_tpu.config import ModelConfig
@@ -36,14 +33,14 @@ class VOSModel(nn.Module):
         self.encoder = build_encoder(cfg.encoder, frozen_bn=cfg.freeze_bn)
         self.encoder_projector = nn.Conv(d, (1, 1), name='encoder_projector')
 
+        # decoder in_dim (reference aot.py:50-52 / deaot.py:28-30) is
+        # implied by the concatenated inputs; flax infers input dims
         if self.is_deaot:
             self.lstt = GPMStack(
                 num_layers=cfg.lstt_num, d_model=d,
                 self_heads=cfg.self_heads, att_heads=cfg.att_heads,
                 intermediate_norm=cfg.decoder_intermediate_lstt,
                 name='lstt')
-            decoder_indim = (d * (cfg.lstt_num * 2 + 1)
-                             if cfg.decoder_intermediate_lstt else d * 2)
         else:
             self.lstt = LSTTStack(
                 num_layers=cfg.lstt_num, d_model=d,
@@ -51,9 +48,6 @@ class VOSModel(nn.Module):
                 linear_q=cfg.linear_q, gru_memory=cfg.gru_memory,
                 intermediate_norm=cfg.decoder_intermediate_lstt,
                 name='lstt')
-            decoder_indim = (d * (cfg.lstt_num + 1)
-                             if cfg.decoder_intermediate_lstt else d)
-        del decoder_indim  # implied by inputs; flax infers input dims
 
         self.decoder = FPNSegmentationHead(
             out_dim=cfg.max_obj_num + 1, hidden_dim=d,

@@ -33,6 +33,8 @@ def parse_args():
     p.add_argument('--former_mem_len', type=int, default=None)
     p.add_argument('--latter_mem_len', type=int, default=None)
     p.add_argument('--gap', type=int, default=None)
+    p.add_argument('--frame_log', action='store_true',
+                   help='print per-frame latency (reference TEST_FRAME_LOG)')
     return p.parse_args()
 
 
@@ -97,7 +99,8 @@ def main():
         dataset = ds.build_synthetic_dataset(num_seqs=2)
 
     ev = Evaluator(model, params, exp, output,
-                   rank=jax.process_index(), world=jax.process_count())
+                   rank=jax.process_index(), world=jax.process_count(),
+                   frame_log=args.frame_log)
     stats = ev.evaluate(dataset)
     print(f'done: {stats.total_frames} frames, results in {output}')
 

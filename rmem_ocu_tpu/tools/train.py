@@ -16,8 +16,6 @@ import os
 import time
 from dataclasses import replace
 
-import numpy as np
-
 
 def parse_args():
     p = argparse.ArgumentParser(description='Train VOS (TPU-native)')

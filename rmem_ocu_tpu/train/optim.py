@@ -9,7 +9,7 @@ scheduled LR, not a constant multiple) matches the reference exactly.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,10 +10,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Optional, Tuple
-
-import jax
-import numpy as np
+from typing import Optional
 
 
 def _ckpt_dir(root: str) -> str:
