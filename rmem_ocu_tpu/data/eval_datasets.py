@@ -235,19 +235,36 @@ def build_vost_dataset(root: str, split='val', use_10fps=True,
 
 
 def build_youtubevos_dataset(root: str, year=2019, split='val',
-                             result_root=None, **seq_kw) -> EvalDataset:
-    """Reference: eval_datasets.py:121-271 (meta.json-driven)."""
+                             all_frames=False, result_root=None,
+                             **seq_kw) -> EvalDataset:
+    """Reference: eval_datasets.py:121-271 (meta.json-driven;
+    YOUTUBEVOS_DenseTest :190-261 for the all-frames split: evaluate every
+    frame between the first and last annotated ones, and remember the
+    sparse annotated subset for separate saving)."""
     base = os.path.join(root, f'{year}', 'valid' if split == 'val' else split)
+    sparse_base = base
+    if all_frames:
+        base = base + '_all_frames'
     image_root = os.path.join(base, 'JPEGImages')
-    label_root = os.path.join(base, 'Annotations')
-    with open(os.path.join(base, 'meta.json')) as f:
+    label_root = os.path.join(sparse_base, 'Annotations')
+    with open(os.path.join(sparse_base, 'meta.json')) as f:
         meta = json.load(f)['videos']
     seqs = {}
     for name in sorted(meta.keys()):
         images = sorted(os.listdir(os.path.join(image_root, name)))
         labels = sorted(os.listdir(os.path.join(label_root, name)))
-        seqs[name] = VOSSequence(image_root, label_root, name, images,
-                                 labels, **seq_kw)
+        if all_frames:
+            sparse = []
+            for obj in meta[name]['objects'].values():
+                sparse += [x + '.jpg' for x in obj['frames']]
+            sparse = sorted(set(sparse))
+            start, end = sparse[0], sparse[-1]
+            images = [i for i in images if start <= i <= end]
+        seq = VOSSequence(image_root, label_root, name, images, labels,
+                          **seq_kw)
+        if all_frames:
+            seq.images_sparse = set(sparse)
+        seqs[name] = seq
     return EvalDataset(seqs, result_root)
 
 

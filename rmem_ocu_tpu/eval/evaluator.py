@@ -249,6 +249,15 @@ class Evaluator:
                 self.result_root, seq_name,
                 os.path.splitext(base.name)[0] + '.png')
             pending_masks.append((pred_ori, out_path, list(obj_idx)))
+            # all-frames split: also save the annotated (sparse) subset
+            # (reference evaluator.py:548-560)
+            sparse = getattr(seq, 'images_sparse', None)
+            if sparse is not None and base.name in sparse:
+                sp = os.path.join(self.result_root + '_sparse', seq_name)
+                os.makedirs(sp, exist_ok=True)
+                pending_masks.append((pred_ori, os.path.join(
+                    sp, os.path.splitext(base.name)[0] + '.png'),
+                    list(obj_idx)))
 
         for mask, path, oidx in pending_masks:
             save_mask_png(mask, path, squeeze_idx=oidx)
