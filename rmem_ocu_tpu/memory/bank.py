@@ -75,6 +75,8 @@ def init_bank(num_layers: int, batch: int, capacity: int, hw: int,
 
 def _write_slot(bank_arr, new, idx):
     """bank_arr: [L, B, T, HW, C]; new: [L, B, HW, C]; idx: [B]."""
+    new = new.astype(bank_arr.dtype)
+
     def per_batch(arr_b, new_b, i):
         # arr_b: [L, T, HW, C]
         return jax.lax.dynamic_update_slice_in_dim(arr_b, new_b[:, None],
@@ -256,6 +258,10 @@ def push_short_term(short: ShortTermMemory, new_k, new_v,
     Reference: transformer.py:293-299 (python list slicing [-skip:]).
     """
     s = short.k.shape[2]
+    new_k = new_k.astype(short.k.dtype)
+    new_v = new_v.astype(short.v.dtype)
+    if new_id_v is not None and short.id_v is not None:
+        new_id_v = new_id_v.astype(short.id_v.dtype)
     if s == 1:
         new_fields = dict(k=new_k[:, :, None], v=new_v[:, :, None],
                           count=short.count + 1)
