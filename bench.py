@@ -7,26 +7,35 @@ evaluator.py:331-523): per frame = encode -> memory-read (restricted bank
 append + attention/UCB eviction); long edge <= 480*1.3 snapped to the
 stride-16(+1) grid, multi-object (3 objects, one batched id pass).
 
-Prints ONE JSON line: frames/sec/chip vs the 60 fps north-star target.
+Compute runs in bfloat16 (exp.compute_dtype) with the fused Pallas
+memory-read kernel on; fp32 parity is covered by tests/, not here.
+
+Prints ONE JSON line: frames/sec/chip vs the 60 fps north-star target,
+plus p50 per-frame latency and the 8-stream serving throughput
+(BASELINE.json configs[4]; the reference's per-frame CUDA-event timing is
+evaluator.py:400-404, 525-535).
 """
 import argparse
 import functools
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main(streams: int = 1):
+def _build(streams: int):
     import jax
     import jax.numpy as jnp
     from rmem_ocu_tpu.config import get_config
     from rmem_ocu_tpu.engine import InferEngine
     from rmem_ocu_tpu.models import build_vos_model
+    from rmem_ocu_tpu.utils.precision import cast_floating
 
     # DAVIS 480p (854x480) -> long edge 624 -> stride-16+1 grid
     H, W = 353, 625
-    exp = get_config('pre_vost_2', model='r50_deaotl')
+    exp = get_config('pre_vost_2', model='r50_deaotl',
+                     compute_dtype='bfloat16')
     cfg = exp.model
     model = build_vos_model(cfg)
 
@@ -36,36 +45,46 @@ def main(streams: int = 1):
     mask = jnp.asarray((rng.rand(B, H, W) * 4).astype(np.int32))
     params = model.init(jax.random.PRNGKey(0), img[:1],
                         jnp.zeros((1, H, W, cfg.id_dim)))
+    params = cast_floating(params, jnp.bfloat16)
 
     engine = InferEngine(model, exp, long_term_mem_gap=5)
     h16, w16 = (H - 1) // 16 + 1, (W - 1) // 16 + 1
     state = engine.init_state(B, (h16, w16))
     state = engine.add_reference_frame(params, state, img, mask,
                                        jnp.full((B,), 3, jnp.int32))
-
     frames = [jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
               for _ in range(8)]
+    return engine, params, state, frames, (H, W)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def frame_step(params, state, frame):
-        logits, state = engine._propagate(params, state, frame)
-        pred = engine.predict_mask(logits, (H, W))
-        state = engine._update_memory(params, state, pred)
-        return pred, state
 
-    # The whole frame loop runs as one lax.scan on device: a single
-    # dispatch, so the measurement is pure chip execution. The timed region
-    # ends with a HOST TRANSFER of the result — on this environment's
-    # tunneled TPU, block_until_ready returns before execution finishes, so
-    # only a device->host readback gives an honest wall-clock.
-    n_iters = 60
+def _sync_overhead():
+    import jax
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda x: x + 1.0)
+    _ = float(tiny(jnp.zeros(())))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(tiny(jnp.zeros(())))
+    return (time.perf_counter() - t0) / 3
+
+
+def _measure_fps(engine, params, state, frames, out_size, n_iters=60):
+    """Whole frame loop as one lax.scan on device: a single dispatch, so the
+    measurement is pure chip execution. The timed region ends with a HOST
+    TRANSFER of the result — on this environment's tunneled TPU,
+    block_until_ready returns before execution finishes, so only a
+    device->host readback gives an honest wall-clock."""
+    import jax
+    import jax.numpy as jnp
+
+    B = frames[0].shape[0]
     clip = jnp.stack([frames[i % len(frames)] for i in range(n_iters)])
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def run_clip(params, state, clip):
         def body(st, frame):
             logits, st = engine._propagate(params, st, frame)
-            pred = engine.predict_mask(logits, (H, W))
+            pred = engine.predict_mask(logits, out_size)
             st = engine._update_memory(params, st, pred)
             return st, pred[:, ::64, ::64]   # tiny summary per frame
         state, preds = jax.lax.scan(body, state, clip)
@@ -76,28 +95,70 @@ def main(streams: int = 1):
     state, preds = run_clip(params, state, clip)
     float(jnp.sum(preds))
 
-    # measure the tunnel's fixed sync overhead and subtract it
-    tiny = jax.jit(lambda x: x + 1.0)
-    _ = float(tiny(jnp.zeros(())))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _ = float(tiny(jnp.zeros(())))
-    sync_overhead = (time.perf_counter() - t0) / 3
-
+    sync = _sync_overhead()
     t0 = time.perf_counter()
     state, preds = run_clip(params, state, clip)
-    checksum = float(jnp.sum(preds))         # forces real completion
-    dt = max(time.perf_counter() - t0 - sync_overhead, 1e-6)
-    fps = n_iters * B / dt
-    del checksum
+    _ = float(jnp.sum(preds))                 # forces real completion
+    dt = max(time.perf_counter() - t0 - sync, 1e-6)
+    return n_iters * B / dt, state
 
-    suffix = '' if B == 1 else f'_{B}streams'
-    print(json.dumps({
-        'metric': f'davis17_480p_multiobj_fps_per_chip{suffix}',
+
+def _measure_p50_latency(engine, params, state, frames, out_size,
+                         n_samples=24):
+    """Per-frame latency distribution: individual frame steps, each ended by
+    a scalar readback; the tunnel's fixed RTT is measured the same way and
+    subtracted. The reference's equivalent is per-frame CUDA events
+    (evaluator.py:400-404)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def frame_step(params, state, frame):
+        logits, state = engine._propagate(params, state, frame)
+        pred = engine.predict_mask(logits, out_size)
+        state = engine._update_memory(params, state, pred)
+        return jnp.sum(pred[:, ::64, ::64]), state
+
+    # compile + steady state
+    chk, state = frame_step(params, state, frames[0])
+    float(chk)
+    sync = _sync_overhead()
+
+    lat = []
+    for i in range(n_samples):
+        t0 = time.perf_counter()
+        chk, state = frame_step(params, state, frames[i % len(frames)])
+        float(chk)
+        lat.append(time.perf_counter() - t0 - sync)
+    return max(float(np.median(lat)) * 1e3, 0.0), state
+
+
+def main(streams: int = 1, full: bool = True):
+    fps, state = None, None
+    engine, params, state, frames, out_size = _build(streams)
+    fps, state = _measure_fps(engine, params, state, frames, out_size)
+
+    record = {
+        'metric': ('davis17_480p_multiobj_fps_per_chip'
+                   + ('' if streams == 1 else f'_{streams}streams')),
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 60.0, 3),
-    }))
+    }
+
+    if full and streams == 1 and os.environ.get('RMEM_BENCH_FAST') != '1':
+        p50, state = _measure_p50_latency(engine, params, state, frames,
+                                          out_size)
+        record['p50_frame_latency_ms'] = round(p50, 2)
+        # multi-stream serving (BASELINE.json configs[4]): 8 concurrent
+        # 480p streams with independent per-stream memory banks
+        del state
+        eng8, p8, st8, fr8, sz8 = _build(8)
+        fps8, _ = _measure_fps(eng8, p8, st8, fr8, sz8)
+        record['fps_8streams'] = round(fps8, 2)
+        record['per_stream_fps_8streams'] = round(fps8 / 8.0, 2)
+
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':
@@ -113,6 +174,6 @@ if __name__ == '__main__':
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
-            main(streams=args.streams)
+            main(streams=args.streams, full=False)
     else:
         main(streams=args.streams)

@@ -307,6 +307,24 @@ STAGE_REGISTRY = {
 }
 
 
+def config_to_dict(exp: ExpConfig) -> dict:
+    """JSON-serializable snapshot (reference cfg.save_self(),
+    configs/default.py:186-196, writes a reloadable config)."""
+    return dataclasses.asdict(exp)
+
+
+def config_from_dict(d: dict) -> ExpConfig:
+    """Rebuild an ExpConfig from config_to_dict output (the reference's
+    eval.py:97-102 reload of the saved snapshot)."""
+    def untuple(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    d = dict(d)
+    model = ModelConfig(**{k: untuple(v) for k, v in d.pop('model').items()})
+    return ExpConfig(model=model,
+                     **{k: untuple(v) for k, v in d.items()})
+
+
 def get_config(stage: str, exp_name: str = 'default',
                model: str = 'aott', **overrides) -> ExpConfig:
     """Compose stage + model the way tools/get_config.py:4-6 does by import."""

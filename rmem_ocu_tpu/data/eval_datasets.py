@@ -170,9 +170,20 @@ class VOSSequence:
         return samples
 
 
-def _seq_from_dir(image_root, label_root, seq_name, **kw):
+def _seq_from_dir(image_root, label_root, seq_name,
+                  first_label_only=True, all_labels=False, **kw):
+    """DAVIS/VOST/LongVideos protocol uses ONLY the frame-0 annotation as a
+    reference (reference eval_datasets.py:309, :387) even though the
+    Annotations dir carries GT for every frame; feeding later GT would be
+    oracle leakage. `all_labels` is the VOST oracle mode
+    (eval_datasets.py:306-307)."""
     images = sorted(os.listdir(os.path.join(image_root, seq_name)))
-    labels = sorted(os.listdir(os.path.join(label_root, seq_name)))
+    if all_labels:
+        labels = [os.path.splitext(i)[0] + '.png' for i in images]
+    elif first_label_only:
+        labels = [os.path.splitext(images[0])[0] + '.png']
+    else:
+        labels = sorted(os.listdir(os.path.join(label_root, seq_name)))
     return VOSSequence(image_root, label_root, seq_name, images, labels,
                        **kw)
 
@@ -220,16 +231,20 @@ def build_davis_dataset(root: str, split='val', year=2017, full_res=False,
 
 
 def build_vost_dataset(root: str, split='val', use_10fps=True,
-                       result_root=None, **seq_kw) -> EvalDataset:
-    """Reference: eval_datasets.py:274-344 (VOST_Test, JPEGImages_10fps)."""
+                       oracle=False, result_root=None,
+                       **seq_kw) -> EvalDataset:
+    """Reference: eval_datasets.py:274-344 (VOST_Test, JPEGImages_10fps).
+    oracle=True loads full-fps frames with a GT label for EVERY frame
+    (:288, :306-307), consumed by the mask-conditioned encoder path."""
     image_root = os.path.join(root,
-                              'JPEGImages_10fps' if use_10fps
-                              else 'JPEGImages')
+                              'JPEGImages' if oracle or not use_10fps
+                              else 'JPEGImages_10fps')
     label_root = os.path.join(root, 'Annotations')
     split_file = os.path.join(root, 'ImageSets', f'{split}.txt')
     with open(split_file) as f:
         seq_names = [s.strip() for s in f if s.strip()]
-    seqs = {name: _seq_from_dir(image_root, label_root, name, **seq_kw)
+    seqs = {name: _seq_from_dir(image_root, label_root, name,
+                                all_labels=oracle, **seq_kw)
             for name in seq_names}
     return EvalDataset(seqs, result_root)
 

@@ -81,6 +81,12 @@ class InferEngine:
         self.skip = (short_term_mem_skip if short_term_mem_skip is not None
                      else exp_cfg.test_short_term_mem_skip)
         self.training = training
+        # activation/memory dtype from exp.compute_dtype (TPU-native knob;
+        # bf16 halves HBM traffic on the bank and runs the MXU at rate).
+        # Inputs are cast at the engine boundary; pass cast_params(params)
+        # for end-to-end bf16 (f32 params would re-promote every matmul).
+        self.dtype = (jnp.bfloat16 if exp_cfg.compute_dtype == 'bfloat16'
+                      else jnp.float32)
         # jit caches keyed by input shape. The state argument is donated:
         # the engine API is move-semantics (each call consumes the state and
         # returns the successor), and in-place bank updates avoid copying
@@ -106,9 +112,11 @@ class InferEngine:
         return ck, cv, with_id
 
     def init_state(self, batch: int, size_2d: Tuple[int, int],
-                   dtype=jnp.float32, mem_gap: Optional[int] = None
+                   dtype=None, mem_gap: Optional[int] = None
                    ) -> EngineState:
         cfg = self.cfg
+        if dtype is None:
+            dtype = self.dtype
         hw = size_2d[0] * size_2d[1]
         ck, cv, with_id = self._dims()
         L = cfg.lstt_num
@@ -141,8 +149,8 @@ class InferEngine:
     def _apply(self, params, method, *args, **kw):
         return self.model.apply(params, *args, method=method, **kw)
 
-    def _encode(self, params, img):
-        xs = self._apply(params, VOSModel.encode_image, img)
+    def _encode(self, params, img, mask=None):
+        xs = self._apply(params, VOSModel.encode_image, img, mask)
         return xs
 
     def _id_emb(self, params, one_hot, ignore, dtype=None):
@@ -171,8 +179,25 @@ class InferEngine:
     def _add_reference_frame(self, params, state: EngineState, img, mask,
                              obj_nums):
         """img: [B,H,W,3]; mask: int [B,H,W]; obj_nums: [B].
-        Reference: engines/aot_engine.py:241-325."""
+        Reference: engines/aot_engine.py:241-325.
+
+        Re-adding a reference mid-sequence (YouTube-VOS mid-video labels)
+        RESETS the memory: the reference's init_LSTT_memory
+        (aot_engine.py:321-323, transformer.py:438-453) replaces long/short
+        memory with just the new reference frame and clears the eviction
+        EMA/UCB dicts and GRU hidden states.
+        """
         cfg = self.cfg
+        state = state.replace(
+            bank=membank.reset_bank(state.bank),
+            short=membank.reset_short_term(state.short),
+            pending_mass=(None if state.pending_mass is None
+                          else jnp.zeros_like(state.pending_mass)),
+            gru_hidden_k=(None if state.gru_hidden_k is None
+                          else jnp.zeros_like(state.gru_hidden_k)),
+            gru_hidden_v=(None if state.gru_hidden_v is None
+                          else jnp.zeros_like(state.gru_hidden_v)))
+        img = img.astype(self.dtype)
         xs = self._encode(params, img)
         b, h, w, _ = xs[-1].shape
         size_2d = (h, w)
@@ -218,12 +243,15 @@ class InferEngine:
         return self._jit_add_ref(params, state, img, mask, obj_nums)
 
     # ------------------------------------------------------------------ #
-    def _propagate(self, params, state: EngineState, img):
-        """One frame forward against the memory.
+    def _propagate(self, params, state: EngineState, img, mask=None):
+        """One frame forward against the memory. `mask` is the optional
+        oracle/USE_MASK label fed to the mask-conditioned encoder
+        (reference aot_engine.py:404-417).
         Reference: engines/aot_engine.py:398-436."""
         cfg = self.cfg
         state = state.replace(frame_step=state.frame_step + 1)
-        xs = self._encode(params, img)
+        img = img.astype(self.dtype)
+        xs = self._encode(params, img, mask)
         b, h, w, _ = xs[-1].shape
         size_2d = (h, w)
         self_pos = self._apply(params, VOSModel.get_pos_emb,
@@ -268,8 +296,8 @@ class InferEngine:
         state = state.replace(pred_logits_4x=logits, **pend)
         return logits, state
 
-    def propagate(self, params, state, img):
-        return self._jit_propagate(params, state, img)
+    def propagate(self, params, state, img, mask=None):
+        return self._jit_propagate(params, state, img, mask)
 
     # ------------------------------------------------------------------ #
     def _update_memory(self, params, state: EngineState, mask):
@@ -330,18 +358,26 @@ class InferEngine:
                 fg = self._foreground_proba(state, size_2d)
                 drop_scored, bank = membank.eviction_scores_and_update(
                     bank, state.pending_mass, fg_proba=fg,
-                    gru_memory=cfg.gru_memory, enabled=score_now)
+                    gru_memory=cfg.gru_memory, enabled=score_now,
+                    former_len=cfg.former_mem_len)
                 drop_idx = drop_scored
 
             compressed = None
             if cfg.gru_memory and cfg.vos == 'aot':
-                # compress the to-be-evicted slot into slot 1 via ConvGRU
+                # compress the to-be-evicted slot into slot 1 via ConvGRU.
+                # The hidden state only advances when a drop actually happens
+                # (reference restrict_long_memories early-returns while
+                # size <= former+latter, transformer.py:332-334, and updates
+                # hidden_states only inside the is_drop branch :420-430).
                 take = lambda arr: jax.vmap(lambda a, d: a[:, d],
                                             in_axes=(1, 0), out_axes=1)(
                     arr, drop_idx)
-                (ck_, cv_), (gh_k, gh_v) = self._apply(
+                (ck_, cv_), (gh_k_new, gh_v_new) = self._apply(
                     params, VOSModel.compress_evicted_slots, take(bank.k),
                     take(bank.v), gh_k, gh_v, size_2d)
+                sel = over[None, :, None, None]
+                gh_k = jnp.where(sel, gh_k_new, gh_k)
+                gh_v = jnp.where(sel, gh_v_new, gh_v)
                 compressed = (ck_, cv_, None)
 
             bank = membank.evict_frame(bank, drop_idx, enabled=over,

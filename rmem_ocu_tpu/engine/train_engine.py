@@ -24,6 +24,7 @@ from rmem_ocu_tpu.ops.masks import (generate_permute_matrix, one_hot_mask,
                                     shuffle_one_hot, unshuffle_logits)
 from rmem_ocu_tpu.ops.position import interpolated_memory_pe
 from rmem_ocu_tpu.ops.resize import interpolate_bilinear
+from rmem_ocu_tpu.utils.metric import batched_iou
 
 UNUSED_ID_LOGIT = -1e10
 
@@ -113,8 +114,21 @@ class TrainEngine:
 
         # --- offline encode all frames in one batch (aot_engine.py:174-196)
         flat = frames.reshape(b * t_total, h, w, 3)
-        xs = self.model.apply(params, flat, method=VOSModel.encode_image,
-                              rngs=rngs)
+        var_loss = None
+        if cfg.var_loss_weight is not None:
+            # TopDown reconstruction loss: sown into the 'losses' collection
+            # by the encoder (resnet_topdown.py), added to the episode loss
+            # scaled by var_loss_weight (reference aot_engine.py:115-118,
+            # models/aot.py:179-183)
+            xs, sown = self.model.apply(
+                params, flat, method=VOSModel.encode_image, rngs=rngs,
+                mutable=['losses'])
+            sows = jax.tree.leaves(sown.get('losses', {}))
+            if sows:
+                var_loss = jnp.mean(jnp.stack(sows))
+        else:
+            xs = self.model.apply(params, flat, method=VOSModel.encode_image,
+                                  rngs=rngs)
         # -> per-frame lists [B, T, h16, w16, C]
         xs = [x.reshape(b, t_total, *x.shape[1:]) for x in xs]
         h16, w16 = xs[-1].shape[2], xs[-1].shape[3]
@@ -163,6 +177,10 @@ class TrainEngine:
         logits0 = decode(params, inters0, frame_xs(0), obj_nums)
         aux_loss = self._frame_loss(logits0, masks[:, 0], obj_nums, step,
                                     input_size)
+        pred0 = jnp.argmax(interpolate_bilinear(logits0, input_size,
+                                                cfg.align_corners),
+                           axis=-1).astype(jnp.int32)
+        iou0 = batched_iou(pred0, masks[:, 0], obj_nums, cfg.max_obj_num)
 
         stack = lambda ms, key: jnp.stack([m[key] for m in ms], axis=0)
         if cfg.vos == 'deaot':
@@ -210,12 +228,17 @@ class TrainEngine:
             logits = decode(params, inters, shortcuts, obj_nums)
             loss = self._frame_loss(logits, gt, obj_nums, step, input_size)
 
+            # per-frame train IoU (reference trainer.py:577-588 via
+            # utils/metric.py pytorch_iou); XLA CSEs the upsample shared
+            # with _frame_loss
+            logits_full = interpolate_bilinear(logits, input_size,
+                                               cfg.align_corners)
+            pred_mask = jnp.argmax(logits_full, axis=-1).astype(jnp.int32)
+            iou = batched_iou(pred_mask, gt, obj_nums, cfg.max_obj_num)
+
             # memory update with GT identity (or previous prediction when
             # use_prev_pred; reference aot_engine.py:91-99)
             if use_prev_pred:
-                pred_prob = interpolate_bilinear(
-                    logits, input_size, cfg.align_corners)
-                pred_mask = jnp.argmax(pred_prob, axis=-1).astype(jnp.int32)
                 upd_oh, upd_ig = one_hot_mask(pred_mask, cfg.max_obj_num)
             else:
                 upd_oh, upd_ig = oh, ig
@@ -298,7 +321,7 @@ class TrainEngine:
                 prev_pred_prob=jax.nn.softmax(
                     logits.astype(jnp.float32), -1),
                 first_short=first_short)
-            return new_carry, loss + rev_loss
+            return new_carry, (loss + rev_loss, iou)
 
         xs_scan = (
             jnp.arange(1, t_total, dtype=jnp.int32),
@@ -308,7 +331,7 @@ class TrainEngine:
             jnp.moveaxis(ignore_all[:, 1:], 1, 0),
             jnp.moveaxis(masks[:, 1:], 1, 0),
         )
-        carry, frame_losses = jax.lax.scan(
+        carry, (frame_losses, frame_ious) = jax.lax.scan(
             jax.checkpoint(step_fn), carry, xs_scan)
 
         # loss aggregation (reference aot_engine.py:108-113): aux weight
@@ -318,9 +341,18 @@ class TrainEngine:
             aux_step - step, 0.0) / aux_step
         pred_loss = jnp.mean(frame_losses)
         total = aux_w * jnp.mean(aux_loss) + pred_loss
-        return total, {
+        all_ious = jnp.concatenate([iou0[None], frame_ious])
+        aux = {
             'aux_loss': jnp.mean(aux_loss),
             'pred_loss': pred_loss,
             'frame_losses': jnp.mean(frame_losses, axis=-1),
+            # per-frame-position train IoU incl. the reference frame
+            # (reference trainer.py:577-595 running_ious meters)
+            'frame_ious': all_ious,
+            'iou': jnp.mean(all_ious),
             'final_pred_prob': carry.prev_pred_prob,
         }
+        if var_loss is not None:
+            total = total + cfg.var_loss_weight * var_loss
+            aux['var_loss'] = var_loss
+        return total, aux

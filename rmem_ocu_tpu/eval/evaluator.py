@@ -31,6 +31,16 @@ from rmem_ocu_tpu.ops.masks import save_mask_png
 from rmem_ocu_tpu.ops.resize import interpolate_bilinear
 
 
+def _device_peak_mem_mb() -> float:
+    """Peak device memory (the reference reports
+    torch.cuda.max_memory_allocated, evaluator.py:584-586)."""
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        return ms.get('peak_bytes_in_use', 0) / 2.0 ** 20
+    except Exception:
+        return 0.0
+
+
 def adaptive_mem_gap(num_frames: int, base_gap: int) -> int:
     """gap = max(round(frames / 30), 5) (reference evaluator.py:331-335)."""
     return max(int(round(num_frames / 30.0)), 5)
@@ -81,6 +91,14 @@ class EvalStats:
     total_time: float = 0.0
     total_frames: int = 0
     seq_fps: List[float] = field(default_factory=list)
+    frame_times: List[float] = field(default_factory=list)
+    max_mem_mb: float = 0.0
+
+    @property
+    def p50_latency_ms(self) -> float:
+        if not self.frame_times:
+            return 0.0
+        return float(np.median(self.frame_times) * 1e3)
 
 
 @dataclass
@@ -121,11 +139,16 @@ class Evaluator:
             t = self._eval_sequence(seq_name, seq, verbose)
             stats.total_time += t[0]
             stats.total_frames += t[1]
+            stats.frame_times.extend(t[2])
             if t[1]:
                 stats.seq_fps.append(t[1] / max(t[0], 1e-9))
+        stats.max_mem_mb = _device_peak_mem_mb()
         if verbose and stats.total_frames:
+            # FPS + max-mem summary (reference evaluator.py:584-587)
             print(f'[rank {self.rank}] all-frame FPS: '
-                  f'{stats.total_frames / stats.total_time:.2f}')
+                  f'{stats.total_frames / stats.total_time:.2f}, '
+                  f'p50 latency: {stats.p50_latency_ms:.1f}ms, '
+                  f'max mem: {stats.max_mem_mb:.0f}MB')
         return stats
 
     # -------------------------------------------------------------- #
@@ -159,6 +182,7 @@ class Evaluator:
         n_groups = 1
         obj_idx = None
         total_time, timed_frames = 0.0, 0
+        frame_times = []
         pending_masks = []
 
         for frame_idx in range(len(seq)):
@@ -171,10 +195,10 @@ class Evaluator:
                 assert base.label is not None
                 obj_num = base.obj_num
                 n_groups = max(int(np.ceil(obj_num / group_size)), 1)
-                obj_nums = jnp.full(
-                    (n_groups,),
-                    min(obj_num, group_size) if n_groups == 1
-                    else group_size, jnp.int32)
+                # the reference always passes obj_nums=[max_aot_obj_num] to
+                # every inner engine (aot_engine.py:694-698), so ids above
+                # the live object count are never masked at eval
+                obj_nums = jnp.full((n_groups,), group_size, jnp.int32)
                 augs = []
                 for s in samples:
                     in_size = s.image.shape[:2]
@@ -188,13 +212,26 @@ class Evaluator:
                                   n_groups, obj_nums)
                 continue
 
+            # VOST oracle: every frame's GT label conditions the encoder
+            # (reference evaluator.py:407-417 + ORACLE flag); the label is
+            # consumed here and must NOT re-reference (evaluator.py:417
+            # sets current_label = None)
+            oracle = cfg.oracle and base.label is not None
+
             t0 = time.perf_counter()
             prob_sum = None
             for aug, sample in zip(augs, samples):
                 img = jnp.repeat(jnp.asarray(sample.image[None]), n_groups,
                                  0)
+                mask_in = None
+                if oracle:
+                    lbl = base.label[:, ::-1] if aug.flip else base.label
+                    lbl = self._label_at(lbl, aug.in_size)
+                    mask_in = jnp.repeat(
+                        jnp.asarray(lbl[None, ..., None], jnp.float32),
+                        n_groups, 0)
                 logits, aug.state = engine.propagate(self.params, aug.state,
-                                                     img)
+                                                     img, mask_in)
                 # upsample per-group logits BEFORE the nonlinear soft
                 # aggregation, like the reference (match_propogate returns
                 # per-engine logits at output_size, aot_engine.py:704-712)
@@ -210,8 +247,9 @@ class Evaluator:
                 np.uint8)
 
             # mid-video new objects (YouTube-VOS): overwrite with GT where
-            # labeled, then re-add as reference (reference :484-508)
-            if base.label is not None:
+            # labeled, then re-add as reference (reference :484-508); the
+            # engine resets its memory on re-add, matching init_LSTT_memory
+            if base.label is not None and not oracle:
                 new_label = self._label_at(base.label, ori_size)
                 keep = new_label == 0
                 pred_ori = np.where(keep, pred_ori, new_label).astype(
@@ -240,6 +278,7 @@ class Evaluator:
             frame_time = time.perf_counter() - t0
             total_time += frame_time
             timed_frames += 1
+            frame_times.append(frame_time)
             if self.frame_log:
                 print(f'[rank {self.rank}] {seq_name} frame '
                       f'{base.name.split(".")[0]} - Obj Num: '
@@ -266,7 +305,7 @@ class Evaluator:
             print(f'[rank {self.rank}] {seq_name}: '
                   f'{timed_frames / total_time:.2f} fps '
                   f'({len(seq)} frames, gap {gap})')
-        return total_time, timed_frames
+        return total_time, timed_frames, frame_times
 
     @staticmethod
     def _label_at(label: np.ndarray, size, nearest: bool = True):

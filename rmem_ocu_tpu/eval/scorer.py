@@ -141,9 +141,38 @@ def summarize(res: Dict) -> Dict[str, float]:
     return out
 
 
+def score_results(results_path: str, dataset_root: str, split: str = 'val',
+                  boundary: bool = False) -> str:
+    """Score saved masks; write global + per-sequence CSVs next to the
+    results (reference evaluation_method.py:36-75 incl. CSV caching).
+    Returns the global CSV path."""
+    import csv
+    import json
+    gpath = os.path.join(results_path, f'global_results-{split}.csv')
+    ppath = os.path.join(results_path, f'per-sequence_results-{split}.csv')
+    if os.path.isfile(gpath) and os.path.isfile(ppath):
+        print(f'cached scores found: {gpath} (reference '
+              'evaluation_method.py:36-39)')
+        return gpath
+    ds = GTDataset(dataset_root, split)
+    res = evaluate_semisupervised(ds, results_path, with_boundary=boundary)
+    summary = summarize(res)
+    print(json.dumps(summary, indent=2))
+    with open(gpath, 'w', newline='') as f:
+        w = csv.writer(f)
+        w.writerow(list(summary.keys()))
+        w.writerow([round(v, 6) for v in summary.values()])
+    with open(ppath, 'w', newline='') as f:
+        w = csv.writer(f)
+        w.writerow(['Sequence', 'J-Mean', 'J_last-Mean'])
+        for name in res['J']['M_per_object']:
+            w.writerow([name, res['J']['M_per_object'][name],
+                        res['J_last']['M_per_object'][name]])
+    return gpath
+
+
 def main():
     import argparse
-    import json
     p = argparse.ArgumentParser(description='Score saved VOS PNG masks '
                                 '(J / J_last / F)')
     p.add_argument('--results_path', required=True)
@@ -151,21 +180,8 @@ def main():
     p.add_argument('--split', default='val')
     p.add_argument('--boundary', action='store_true')
     args = p.parse_args()
-    ds = GTDataset(args.dataset_root, args.split)
-    res = evaluate_semisupervised(ds, args.results_path,
-                                  with_boundary=args.boundary)
-    print(json.dumps(summarize(res), indent=2))
-    # per-sequence CSV next to the results (reference
-    # evaluation_method.py:51-67)
-    import csv
-    with open(os.path.join(args.results_path,
-                           f'per-sequence_results-{args.split}.csv'),
-              'w', newline='') as f:
-        w = csv.writer(f)
-        w.writerow(['Sequence', 'J-Mean', 'J_last-Mean'])
-        for name in res['J']['M_per_object']:
-            w.writerow([name, res['J']['M_per_object'][name],
-                        res['J_last']['M_per_object'][name]])
+    score_results(args.results_path, args.dataset_root, args.split,
+                  args.boundary)
 
 
 if __name__ == '__main__':

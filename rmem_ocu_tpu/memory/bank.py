@@ -73,6 +73,37 @@ def init_bank(num_layers: int, batch: int, capacity: int, hw: int,
     )
 
 
+def reset_bank(bank: MemoryBank) -> MemoryBank:
+    """Empty the bank in place (length 0, no frame ids, no eviction state).
+
+    Reference: re-adding a reference frame calls init_LSTT_memory
+    (aot_engine.py:321-323) which *replaces* the long-term memory with just
+    the new reference frame and clears stored_attn_weight_dict /
+    stored_frame_times (transformer.py:438-453).
+    """
+    new_fields = dict(
+        k=jnp.zeros_like(bank.k), v=jnp.zeros_like(bank.v),
+        length=jnp.zeros_like(bank.length),
+        frame_ids=jnp.full_like(bank.frame_ids, -1),
+        attn_ema=jnp.zeros_like(bank.attn_ema),
+        ema_present=jnp.zeros_like(bank.ema_present),
+        visits=jnp.zeros_like(bank.visits),
+    )
+    if bank.id_v is not None:
+        new_fields['id_v'] = jnp.zeros_like(bank.id_v)
+    return bank.replace(**new_fields)
+
+
+def reset_short_term(short: ShortTermMemory) -> ShortTermMemory:
+    """Empty the short-term window (reference transformer.py:439-441 resets
+    short_term_memories_list to just the new reference frame)."""
+    new_fields = dict(k=jnp.zeros_like(short.k), v=jnp.zeros_like(short.v),
+                      count=jnp.zeros_like(short.count))
+    if short.id_v is not None:
+        new_fields['id_v'] = jnp.zeros_like(short.id_v)
+    return short.replace(**new_fields)
+
+
 def _write_slot(bank_arr, new, idx):
     """bank_arr: [L, B, T, HW, C]; new: [L, B, HW, C]; idx: [B]."""
     new = new.astype(bank_arr.dtype)
@@ -91,6 +122,14 @@ def append_frame(bank: MemoryBank, new_k, new_v, new_id_v,
 
     new_k/new_v/new_id_v: [L, B, HW, C]; frame_idx: scalar or [B] int32.
     Reference: transformer.py:306-322 (torch.cat on dim 0).
+
+    Capacity invariant: callers must keep length < capacity before an
+    append. The two append sites guarantee it — the long-term write path
+    evicts back to former+latter (= capacity-1) right after appending, and
+    add_reference_frame resets the bank to empty first (the reference's
+    init_LSTT_memory). The clamp below is a static-shape guard, not a
+    semantic path: if it ever engaged it would overwrite the newest slot,
+    unlike the reference's unbounded torch.cat.
     """
     frame_idx = jnp.broadcast_to(jnp.asarray(frame_idx, jnp.int32),
                                  bank.length.shape)
@@ -178,7 +217,7 @@ def default_drop_index(bank: MemoryBank, former_len: int,
 
 def eviction_scores_and_update(bank: MemoryBank, frame_mass,
                                fg_proba=None, gru_memory: bool = False,
-                               enabled=None,
+                               enabled=None, former_len: int = 1,
                                moving_mean_factor: float = 0.8,
                                ucb_add: float = 8.0, ucb_mul: float = 1.5):
     """RMem attention-usage + UCB eviction (reference transformer.py:339-411).
@@ -239,10 +278,13 @@ def eviction_scores_and_update(bank: MemoryBank, frame_mass,
     masked = jnp.where(candidate, score, jnp.inf)
     drop_idx = jnp.argmin(masked, axis=-1).astype(jnp.int32)
     # if there are no candidates (or scoring disabled) fall back to the
-    # default drop slot
+    # default drop slot former_len (+1 with gru) — reference
+    # transformer.py:335-337 sets to_drop_idx before the scoring branch,
+    # while the candidate protection above stays 1 (+1 gru), :406-409.
+    fallback = former_len + (1 if gru_memory else 0)
     has_candidate = jnp.any(candidate, axis=-1) & enabled
     drop_idx = jnp.where(has_candidate, drop_idx,
-                         ignore_former * jnp.ones_like(drop_idx))
+                         fallback * jnp.ones_like(drop_idx))
 
     en = enabled[:, None]
     return drop_idx, bank.replace(

@@ -59,6 +59,21 @@ class SplAtConv2d(nn.Module):
         return sum(at * sp for at, sp in zip(attens, splited))
 
 
+def _avg_pool_ceil(x, k: int):
+    """AvgPool2d(k, k, ceil_mode=True, count_include_pad=False): sum-pool
+    with right/bottom padding, divided by the per-window valid count."""
+    h, w = x.shape[1], x.shape[2]
+    ph, pw = (-h) % k, (-w) % k
+    pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+    win, strides = (1, k, k, 1), (1, k, k, 1)
+    s = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                              win, strides, pad)
+    ones = jnp.ones((1, h, w, 1), x.dtype)
+    cnt = jax.lax.reduce_window(ones, jnp.zeros((), x.dtype), jax.lax.add,
+                                win, strides, pad)
+    return s / cnt
+
+
 class ResNeStBottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -89,9 +104,11 @@ class ResNeStBottleneck(nn.Module):
         if self.has_downsample:
             res = x
             if self.avg_down and self.stride > 1:
-                res = nn.avg_pool(res, (self.stride,) * 2,
-                                  strides=(self.stride,) * 2,
-                                  padding='VALID')
+                # reference uses AvgPool2d(stride, stride, ceil_mode=True,
+                # count_include_pad=False) (resnest/resnet.py:332-336):
+                # odd inputs gain a partial tail window averaged over its
+                # valid elements only
+                res = _avg_pool_ceil(res, self.stride)
             res = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                           name='downsample_conv')(res)
             residual = FrozenBatchNorm(self.planes * 4,

@@ -154,6 +154,9 @@ class ResNetTopDownEncoder(nn.Module):
                 recon = recon[:, :target.shape[1], :target.shape[2]]
             recon_loss = recon_loss + jnp.mean(
                 (recon - target.astype(recon.dtype)) ** 2)
-        self.sow('losses', 'var_loss', recon_loss)
+        # overwrite (not append): model.init leaves a stale init-time value
+        # in the 'losses' collection that callers pass back through apply
+        self.sow('losses', 'var_loss', recon_loss,
+                 reduce_fn=lambda prev, new: new)
 
         return out_var[1:] + [out_var[-1]]

@@ -77,8 +77,13 @@ class VOSModel(nn.Module):
                                           (slots, pe_dim))
 
     # --- reference AOT.encode_image (aot.py:116-134) ---
-    def encode_image(self, img):
-        xs = self.encoder(img)
+    def encode_image(self, img, mask=None):
+        """mask: optional [B, H, W, 1] label map for the mask-conditioned
+        TopDown encoder (reference aot.py:125-129, USE_MASK/ORACLE path)."""
+        if self.cfg.use_mask and mask is not None:
+            xs = self.encoder(img, mask)
+        else:
+            xs = self.encoder(img)
         xs[-1] = self.encoder_projector(xs[-1])
         return xs
 

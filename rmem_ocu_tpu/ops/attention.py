@@ -62,13 +62,15 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
 
 def pallas_memory_read_enabled() -> bool:
     """Use the fused Pallas bank-attention kernel for long-term reads.
-    Defaults to on for TPU backends; override with RMEM_PALLAS=0/1."""
+    Defaults to on for any non-CPU backend (the TPU tunnel on this machine
+    registers as the experimental 'axon' platform, not 'tpu'); override with
+    RMEM_PALLAS=0/1."""
     import os
     env = os.environ.get('RMEM_PALLAS')
     if env is not None:
         return env not in ('0', 'false', 'False')
     import jax
-    return jax.default_backend() == 'tpu'
+    return jax.default_backend() != 'cpu'
 
 
 class MultiheadAttention(nn.Module):

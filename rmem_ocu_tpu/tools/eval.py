@@ -35,6 +35,15 @@ def parse_args():
     p.add_argument('--gap', type=int, default=None)
     p.add_argument('--frame_log', action='store_true',
                    help='print per-frame latency (reference TEST_FRAME_LOG)')
+    p.add_argument('--bf16', action='store_true',
+                   help='bfloat16 activations + params (TPU serving path)')
+    p.add_argument('--oracle', action='store_true',
+                   help='VOST oracle mode: GT label per frame conditions '
+                        'the mask encoder (reference ORACLE flag, '
+                        'eval_datasets.py:306-307)')
+    p.add_argument('--no_config_reload', action='store_true',
+                   help='ignore the training config.json snapshot '
+                        '(reference eval.py:97-102 prefers the snapshot)')
     return p.parse_args()
 
 
@@ -49,7 +58,20 @@ def main():
     from rmem_ocu_tpu.utils import checkpoint as ckpt
 
     exp = get_config(args.stage, args.exp_name, args.model)
+    # prefer the training run's saved config snapshot, like the reference
+    # (tools/eval.py:97-102 re-imports result_path/config.py)
+    snap = os.path.join(exp.dir_result(), 'config.json')
+    if not args.no_config_reload and os.path.isfile(snap):
+        import json
+        from rmem_ocu_tpu.config import config_from_dict
+        with open(snap) as f:
+            exp = config_from_dict(json.load(f))
+        print(f'reloaded config snapshot {snap}')
+    if args.bf16:
+        exp = replace(exp, compute_dtype='bfloat16')
     model_overrides = {}
+    if args.oracle:
+        model_overrides['oracle'] = True
     if args.former_mem_len is not None:
         model_overrides['former_mem_len'] = args.former_mem_len
     if args.latter_mem_len is not None:
@@ -75,9 +97,16 @@ def main():
                 state.ema_params
             print(f'loaded EMA params from step {step}')
 
+    if args.bf16:
+        from rmem_ocu_tpu.utils.precision import cast_floating
+        params = cast_floating(params, jnp.bfloat16)
+
     output = args.output or os.path.join(exp.dir_result(), 'eval',
                                          args.dataset)
     os.makedirs(output, exist_ok=True)
+    if jax.process_index() == 0:
+        from rmem_ocu_tpu.utils.run_utils import Tee
+        Tee(os.path.join(output, 'print.log'))
 
     seq_kw = dict(max_size=args.max_size, align_corners=cfg.align_corners,
                   multi_scale=tuple(args.ms), flip=args.flip)
@@ -87,7 +116,7 @@ def main():
         dataset = ds.build_davis_dataset(root, args.split, year,
                                          result_root=output, **seq_kw)
     elif args.dataset == 'vost':
-        dataset = ds.build_vost_dataset(root, args.split,
+        dataset = ds.build_vost_dataset(root, args.split, oracle=args.oracle,
                                         result_root=output, **seq_kw)
     elif args.dataset == 'youtubevos':
         dataset = ds.build_youtubevos_dataset(root, split=args.split,
@@ -102,7 +131,9 @@ def main():
                    rank=jax.process_index(), world=jax.process_count(),
                    frame_log=args.frame_log)
     stats = ev.evaluate(dataset)
-    print(f'done: {stats.total_frames} frames, results in {output}')
+    print(f'done: {stats.total_frames} frames, '
+          f'p50 {stats.p50_latency_ms:.1f}ms, '
+          f'max mem {stats.max_mem_mb:.0f}MB, results in {output}')
 
 
 if __name__ == '__main__':

@@ -81,8 +81,18 @@ def main():
     ema_dir = os.path.join(result_dir, 'ema_ckpt')
     os.makedirs(ckpt_dir, exist_ok=True)
     os.makedirs(ema_dir, exist_ok=True)
-    with open(os.path.join(result_dir, 'config.json'), 'w') as f:
-        json.dump({k: str(v) for k, v in vars(exp).items()}, f, indent=2)
+
+    import jax as _jax
+    if _jax.process_index() == 0:
+        # stdout tee + source snapshot (reference tools/train.py:40-41,
+        # 78-79 via utils/utils.py Tee/copy_codes)
+        from rmem_ocu_tpu.utils.run_utils import Tee, copy_codes
+        Tee(os.path.join(result_dir, 'print.log'))
+        copy_codes(result_dir)
+        # reloadable config snapshot (reference cfg.save_self())
+        from rmem_ocu_tpu.config import config_to_dict
+        with open(os.path.join(result_dir, 'config.json'), 'w') as f:
+            json.dump(config_to_dict(exp), f, indent=2)
 
     model = build_vos_model(exp.model)
     trainer = Trainer(model, exp)
@@ -135,17 +145,30 @@ def main():
                    'loss': round(float(metrics['loss']), 5),
                    'aux_loss': round(float(metrics['aux_loss']), 5),
                    'pred_loss': round(float(metrics['pred_loss']), 5),
+                   'iou': round(float(metrics['iou']) * 100, 2),
                    'lr': float(metrics['lr']),
                    'grad_norm': round(float(metrics['grad_norm']), 3),
+                   # per-frame-position meters (reference
+                   # trainer.py:577-595, 619-635)
+                   'frame_losses': [round(float(v), 4)
+                                    for v in metrics['frame_losses']],
+                   'frame_ious': [round(float(v) * 100, 2)
+                                  for v in metrics['frame_ious']],
                    'it_per_s': round(exp.train_log_step / max(dt, 1e-9), 3)}
+            if 'var_loss' in metrics:
+                row['var_loss'] = round(float(metrics['var_loss']), 5)
             print(f'step {step}/{exp.train_total_steps} '
-                  f'loss {row["loss"]:.4f} lr {row["lr"]:.2e} '
+                  f'loss {row["loss"]:.4f} iou {row["iou"]:.1f} '
+                  f'lr {row["lr"]:.2e} '
                   f'({row["it_per_s"]:.2f} it/s)', flush=True)
             if jax.process_index() == 0:
                 with open(metrics_path, 'a') as f:
                     f.write(json.dumps(row) + '\n')
         if step % exp.train_save_step == 0 and jax.process_index() == 0:
             ckpt.save_checkpoint(ckpt_dir, step, state,
+                                 exp.train_max_keep_ckpt)
+            # EMA weights in a parallel dir (reference trainer.py:659-676)
+            ckpt.save_checkpoint(ema_dir, step, state.ema_params,
                                  exp.train_max_keep_ckpt)
             print(f'saved step {step}')
 

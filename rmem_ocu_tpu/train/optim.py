@@ -44,6 +44,58 @@ def schedule_lr(step, exp: ExpConfig):
     return jnp.where(step < warm, warm_lr, decay_lr)
 
 
+def _encoder_stage_frozen(name: str, encoder: str, freeze_at: int) -> bool:
+    """Stage-level encoder freezing (reference encoders/*/freeze(freeze_at),
+    e.g. resnet.py:206-213: freeze_at >= 1 freezes the stem, stage idx
+    counts from 2 = the 4x stage). Default TRAIN_ENCODER_FREEZE_AT = 2.
+
+    `name` is the full param path; stage membership is read off the first
+    module segment under 'encoder.'.
+    """
+    if freeze_at <= 0 or 'encoder.' not in name:
+        return False
+    mod = name.split('encoder.', 1)[1].split('.', 1)[0]
+    if encoder.startswith(('resnet', 'resnest')):
+        # stem = conv1/bn1 (resnet) or stem_* (resnest); layerN <-> stage N+1
+        if mod in ('conv1', 'bn1') or mod.startswith('stem_'):
+            return freeze_at >= 1
+        if mod.startswith('layer'):
+            return freeze_at >= int(mod[5]) + 1
+        return False  # topdown decode blocks / prompt are never frozen
+    if encoder == 'mobilenetv2':
+        # features[j] <-> feat_j; stages = [0:4], [4:7], [7:14], [14:]
+        # (reference mobilenetv2.py:210-215, freeze :240-247)
+        j = int(mod.split('_')[1])
+        bounds = (4, 7, 14)
+        if j == 0 and freeze_at >= 1:
+            return True
+        stage = 2 + sum(j >= b for b in bounds)
+        return freeze_at >= stage
+    if encoder == 'mobilenetv3':
+        # features = [stem] + blocks; stages = [0:4], [4:7], [7:13], [13:]
+        # (reference mobilenetv3.py:200-206, freeze :233-240); the trailing
+        # conv_1x1 (last_conv) is separate and never frozen
+        if mod in ('stem', 'stem_bn'):
+            return freeze_at >= 1
+        if mod.startswith('block_'):
+            j = int(mod.split('_')[1]) + 1          # features index
+            stage = 2 + sum(j >= b for b in (4, 7, 13))
+            return freeze_at >= stage
+        return False
+    if encoder.startswith('swin'):
+        # frozen_stages = freeze_at (reference swin/build.py:21,
+        # _freeze_stages :637-655): patch embed at >= 0 (only reached with
+        # freeze_at >= 1 here since <= 0 means "off" for every family),
+        # layers[i] (blocks + downsample) at >= i + 2; out-norms never.
+        if mod in ('patch_embed', 'patch_norm'):
+            return freeze_at >= 1
+        if mod.startswith(('stage', 'downsample')):
+            s = int(mod.removeprefix('stage').removeprefix('downsample')[0])
+            return freeze_at >= s + 2
+        return False
+    return False
+
+
 def make_masks(params, exp: ExpConfig,
                extra_frozen: Sequence[str] = ()):
     """Per-leaf (wd_coeff, is_encoder, is_frozen) trees.
@@ -51,8 +103,13 @@ def make_masks(params, exp: ExpConfig,
     WD rules (reference utils/learning.py:70-83): 1-D tensors and biases get
     no decay; names containing an exemption key get none; frozen-BN buffers
     and explicitly frozen module prefixes train with lr 0.
+
+    Freeze recipes (reference trainer.py:65-92 + encoder freeze_at): lr-0
+    masks are exactly requires_grad=False for AdamW — the frozen leaves are
+    bit-identical after a step.
     """
     exemptions = tuple(exp.train_weight_decay_exemption)
+    mcfg = exp.model
 
     def classify(keypath, leaf):
         name = path_str(keypath)
@@ -67,14 +124,27 @@ def make_masks(params, exp: ExpConfig,
         for f in extra_frozen:
             if f in name:
                 frozen = True
+        is_enc = name.startswith('params.encoder.') or \
+            '.encoder.' in name
+        # freeze recipes (applied in the reference's order: the
+        # freeze-all-except recipes override everything else,
+        # trainer.py:72-92)
+        if mcfg.freeze_except_temporal_pe:
+            frozen = not ('cur_pos_emb' in name or 'mem_pos_emb' in name)
+        elif mcfg.freeze_except_gru:
+            frozen = 'memory_gru' not in name
+        else:
+            if mcfg.freeze_backbone and is_enc:
+                frozen = True
+            if is_enc and _encoder_stage_frozen(
+                    name, mcfg.encoder, exp.train_encoder_freeze_at):
+                frozen = True
         wd = exp.train_weight_decay
         if leaf.ndim <= 1:
             wd = 0.0
         for ex in exemptions:
             if ex in name:
                 wd = 0.0
-        is_enc = name.startswith('params.encoder.') or \
-            '.encoder.' in name
         return wd, is_enc, frozen
 
     wd_tree = jax.tree_util.tree_map_with_path(

@@ -47,6 +47,11 @@ class Trainer:
         self.ema_decay = 1.0 - 1.0 / (exp.train_total_steps *
                                       exp.train_ema_ratio)
         self._train_step_cache = {}
+        # host-side mirror of state.step: the curriculum switch must not
+        # read the device scalar every step (one device->host sync per step
+        # costs ~85 ms on a tunneled TPU). Synced once lazily (resume), then
+        # tracked by counting train_step calls.
+        self._host_step: Optional[int] = None
 
     # -------------------------------------------------------------- #
     def init_state(self, rng, sample_frames, sample_masks) -> TrainState:
@@ -79,6 +84,12 @@ class Trainer:
 
         now_lr = optim.schedule_lr(state.step, exp)
         param_masks = self._masks(state.params, extra_frozen)
+        # zero frozen grads before the chain so the global-norm clip and the
+        # Adam moments see only trainable params, like requires_grad=False
+        # (reference trainer.py:552: clip over params with grads)
+        grads = jax.tree.map(
+            lambda g, fz: jnp.zeros_like(g) if fz else g,
+            grads, param_masks[2])
         updates, new_opt = self.tx.update(grads, state.opt_state,
                                           state.params)
         new_params = optim.apply_updates(state.params, updates, param_masks,
@@ -89,9 +100,14 @@ class Trainer:
             'loss': loss,
             'aux_loss': aux['aux_loss'],
             'pred_loss': aux['pred_loss'],
+            'iou': aux['iou'],
+            'frame_losses': aux['frame_losses'],
+            'frame_ious': aux['frame_ious'],
             'lr': now_lr,
             'grad_norm': optax_global_norm(grads),
         }
+        if 'var_loss' in aux:
+            metrics['var_loss'] = aux['var_loss']
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                ema_params=new_ema, step=state.step + 1,
                                ema_updates=state.ema_updates + 1)
@@ -101,8 +117,10 @@ class Trainer:
         """batch: dict(frames [B,T,H,W,3], masks [B,T,H,W], obj_nums [B]).
         The seq-training phase switch (reference trainer.py:469-474) flips
         use_prev_pred and freezes the id bank at 50% of training."""
+        if self._host_step is None:
+            self._host_step = int(state.step)   # one-time sync (resume)
         use_prev_pred = bool(
-            int(state.step) >=
+            self._host_step >=
             self.exp.train_seq_training_start_ratio *
             self.exp.train_total_steps)
         extra_frozen = (tuple(self.exp.train_seq_training_freeze_params)
@@ -120,8 +138,10 @@ class Trainer:
                               data_sharding, repl),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,))
-        return self._train_step_cache[key](
+        out = self._train_step_cache[key](
             state, batch['frames'], batch['masks'], batch['obj_nums'], rng)
+        self._host_step += 1
+        return out
 
 
 def optax_global_norm(tree):

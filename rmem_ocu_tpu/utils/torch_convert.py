@@ -15,6 +15,7 @@ Layout transforms:
 """
 from __future__ import annotations
 
+import functools
 import re
 from typing import Dict
 
@@ -24,6 +25,35 @@ import numpy as np
 
 def _t2n(t):
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, 'detach') else t)
+
+
+@functools.lru_cache(maxsize=1)
+def _mnv3_no_expand():
+    """Block indices whose InvertedResidual has inp == hidden (the
+    reference then omits the pw expansion, mobilenetv3.py:92-110), which
+    shifts the .conv Sequential sub-indices."""
+    from rmem_ocu_tpu.models.encoders.mobilenetv3 import (_CFGS,
+                                                          _make_divisible)
+    out = set()
+    inp = _make_divisible(16)
+    for i, (k, t, c, use_se, use_hs, s) in enumerate(_CFGS):
+        hidden = _make_divisible(inp * t)
+        if hidden == inp:
+            out.add(i)
+        inp = _make_divisible(c)
+    return out
+
+
+# repo MBV3Block submodule -> index in the reference's .conv Sequential
+# (mobilenetv3.py:92-133): with expansion [pw, bn, act, dw, bn, SE, act,
+# pw-linear, bn]; without [dw, bn, act, SE, pw-linear, bn]
+_MNV3_SUB = {
+    True: {'pw': 'conv.0', 'pw_bn': 'conv.1', 'dw': 'conv.3',
+           'dw_bn': 'conv.4', 'se': 'conv.5', 'pw_linear': 'conv.7',
+           'pw_linear_bn': 'conv.8'},
+    False: {'dw': 'conv.0', 'dw_bn': 'conv.1', 'se': 'conv.3',
+            'pw_linear': 'conv.4', 'pw_linear_bn': 'conv.5'},
+}
 
 
 def _flax_key_to_torch(path: tuple, cfg) -> str:
@@ -66,6 +96,21 @@ def _flax_key_to_torch(path: tuple, cfg) -> str:
             i += 1
             continue
         m = re.fullmatch(r'block_(\d+)', p)
+        if m and i + 1 < len(parts) and parts[i + 1] in (
+                'pw', 'pw_bn', 'dw', 'dw_bn', 'se', 'pw_linear',
+                'pw_linear_bn'):
+            # MobileNetV3: features.{i+1}.conv.{j} with j depending on
+            # whether the block expands (mobilenetv3.py:92-133)
+            bi = int(m.group(1))
+            sub = parts[i + 1]
+            out.append(f'features.{bi + 1}.'
+                       f'{_MNV3_SUB[bi not in _mnv3_no_expand()][sub]}')
+            i += 2
+            if sub == 'se' and i < len(parts):
+                # SELayer.fc = Sequential(Linear, ReLU, Linear, h_sigmoid)
+                out.append('fc.0' if parts[i] == 'fc1' else 'fc.2')
+                i += 1
+            continue
         if m:
             out.append(f'layers.{m.group(1)}')
         # --- Swin (reference encoders/swin/swin_transformer.py) ---
@@ -93,6 +138,21 @@ def _flax_key_to_torch(path: tuple, cfg) -> str:
             # (reference transformer.py:755-758 via _get_norm type='gn')
             if cfg.vos == 'deaot':
                 out.append('gn')
+        elif p == 'stem':
+            out.append('features.0.0')       # mnv3 stem conv_3x3_bn
+        elif p == 'stem_bn':
+            out.append('features.0.1')
+        elif p == 'last_conv':
+            out.append('conv.0')             # mnv3 trailing conv_1x1_bn
+        elif p == 'last_bn':
+            out.append('conv.1')
+        # --- ResNet TopDown feedback decoders (resnet.py:270-284) ---
+        elif p == 'dec0_up':
+            out.append('decoders.0.0')
+        elif p == 'dec0':
+            out.append('decoders.0.1')
+        elif (m := re.fullmatch(r'dec(\d)', p)):
+            out.append(f'decoders.{m.group(1)}')
         elif (m := re.fullmatch(r'layer(\d)_(\d+)', p)):
             out.append(f'layer{m.group(1)}.{m.group(2)}')
         elif p == 'downsample_conv':
@@ -150,6 +210,11 @@ def convert_torch_params(state_dict: Dict, flax_params, cfg,
     for keypath, val in flat:
         path = tuple(getattr(k, 'key', getattr(k, 'idx', None))
                      for k in keypath)
+        # pass through non-param collections (e.g. the TopDown encoder's
+        # init-time 'losses' sow) untouched
+        if path and path[0] in ('losses', 'intermediates', 'cache'):
+            out[path] = np.asarray(val)
+            continue
         # drop the top-level 'params' collection name
         parts = tuple(p for p in path if p != 'params')
         leaf = parts[-1]
@@ -168,7 +233,8 @@ def convert_torch_params(state_dict: Dict, flax_params, cfg,
                 else:
                     b = _t2n(sd[f'{tp}.bias'])
                     arr = b.reshape(val.shape)
-            elif leaf in ('cur_pos_emb', 'mem_pos_emb'):
+            elif leaf in ('cur_pos_emb', 'mem_pos_emb', 'prompt',
+                          'top_down_transform'):
                 tp = _flax_key_to_torch(prefix_parts, cfg)
                 key = f'{tp}.{leaf}' if tp else leaf
                 arr = _t2n(sd[key]).reshape(val.shape)
