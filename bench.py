@@ -7,8 +7,10 @@ evaluator.py:331-523): per frame = encode -> memory-read (restricted bank
 append + attention/UCB eviction); long edge <= 480*1.3 snapped to the
 stride-16(+1) grid, multi-object (3 objects, one batched id pass).
 
-Compute runs in bfloat16 (exp.compute_dtype) with the fused Pallas
-memory-read kernel on; fp32 parity is covered by tests/, not here.
+Compute runs in bfloat16 (exp.compute_dtype); fp32 parity is covered by
+tests/, not here. The fused Pallas memory-read kernel follows its backend
+default (on for real 'tpu', off for the axon tunnel where Pallas grid
+steps are throttled ~40x vs XLA ops — see ops/attention.py).
 
 Prints ONE JSON line: frames/sec/chip vs the 60 fps north-star target,
 plus p50 per-frame latency and the 8-stream serving throughput

@@ -117,6 +117,8 @@ class ExpConfig:
     # --- training ---
     train_total_steps: int = 100_000
     train_start_step: int = 0
+    train_tblog: bool = False             # TensorBoard scalars + image logs
+    train_img_log_step: int = 200
     train_weight_decay: float = 0.07
     train_weight_decay_exemption: Tuple[str, ...] = (
         'absolute_pos_embed', 'relative_position_bias_table',

@@ -62,15 +62,22 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
 
 def pallas_memory_read_enabled() -> bool:
     """Use the fused Pallas bank-attention kernel for long-term reads.
-    Defaults to on for any non-CPU backend (the TPU tunnel on this machine
-    registers as the experimental 'axon' platform, not 'tpu'); override with
-    RMEM_PALLAS=0/1."""
+    Defaults to on only for the real 'tpu' backend; override with
+    RMEM_PALLAS=0/1.
+
+    Measured on this machine's tunneled chip (experimental 'axon'
+    platform): the kernel's ~100 grid steps each pay a large per-step
+    penalty in the axon runtime — 12.4 ms/layer vs 0.3 ms for the XLA
+    dense read at DAVIS-480p eval shapes — while plain XLA ops run at
+    full speed. The same kernel's per-step cost on a real v5e is ~2 µs
+    (pallas_guide.md), where the fused read + free eviction mass wins.
+    Hence: default off for axon, on for tpu."""
     import os
     env = os.environ.get('RMEM_PALLAS')
     if env is not None:
         return env not in ('0', 'false', 'False')
     import jax
-    return jax.default_backend() != 'cpu'
+    return jax.default_backend() == 'tpu'
 
 
 class MultiheadAttention(nn.Module):
@@ -213,6 +220,35 @@ def _local_window_maps(h: int, w: int, max_dis: int):
     return inside & in_image, rel.astype(np.int32)
 
 
+def _skew(a):
+    """[..., Q, W] -> [..., Q, Q+W-1] with out[..., q, q+d] = a[..., q, d],
+    zeros elsewhere (Music-Transformer relative-position skew: pad each row
+    by Q, flatten, trim, reshape — the row stride shrinks by one so row q
+    lands shifted by q)."""
+    *lead, q_len, w_len = a.shape
+    a = jnp.pad(a, [(0, 0)] * len(lead) + [(0, 0), (0, q_len)])
+    a = a.reshape(*lead, q_len * (q_len + w_len))
+    a = a[..., :q_len * (q_len + w_len - 1)]
+    return a.reshape(*lead, q_len, q_len + w_len - 1)
+
+
+def _skew_bias_to_padded_grid(rel, h: int, w: int, ws: int):
+    """rel [B, H, h*w, ws*ws] (per-query window bias, row-major dy, dx) ->
+    bias [B, H, h*w, Hp*Wp] over the padded key grid, where
+    bias[q=(qy,qx), k=(kyp,kxp)] = rel[q, (kyp-qy)*ws + (kxp-qx)] inside the
+    window and 0 outside (Hp = h+ws-1, Wp = w+ws-1). Equivalent to a
+    take_along_axis gather but built from two axis-wise skews — pure
+    pad/reshape/transpose, no gather op."""
+    b, nh = rel.shape[:2]
+    r = rel.reshape(b, nh, h, w, ws, ws)
+    r = r.transpose(0, 1, 2, 4, 3, 5)        # [B,H,qy,dy,qx,dx]
+    r = _skew(r)                             # [B,H,qy,dy,qx,kxp]
+    r = r.transpose(0, 1, 4, 5, 2, 3)        # [B,H,qx,kxp,qy,dy]
+    r = _skew(r)                             # [B,H,qx,kxp,qy,kyp]
+    r = r.transpose(0, 1, 4, 2, 5, 3)        # [B,H,qy,qx,kyp,kxp]
+    return r.reshape(b, nh, h * w, (h + ws - 1) * (w + ws - 1))
+
+
 class LocalGatedPropagation(nn.Module):
     """15x15 windowed gated attention (reference: attention.py:220-413)."""
     d_qk: int
@@ -269,12 +305,9 @@ class LocalGatedPropagation(nn.Module):
                            (self.num_heads, ws * ws))
         qg = q.reshape(b, h * w, self.num_heads, d_att)
         rel = jnp.einsum('blhd,hdj->bhlj', qg, rel_w) + rel_b[None, :, None]
-        rel = jnp.concatenate(
-            [rel, jnp.zeros_like(rel[..., :1])], -1)  # sentinel zero bias
 
-        mask_np, relidx_np = _local_window_maps(h, w, self.max_dis)
+        mask_np, _ = _local_window_maps(h, w, self.max_dis)
         mask = jnp.asarray(mask_np)
-        rel_idx = jnp.asarray(relidx_np)
 
         # pad keys/values on the 2D grid
         pad = [(0, 0), (self.max_dis, self.max_dis),
@@ -290,8 +323,10 @@ class LocalGatedPropagation(nn.Module):
         vh = split_heads(vp, self.num_heads)
         logits = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
                             preferred_element_type=jnp.float32)
-        # gather per-(query, padded-key) relative bias
-        bias = jnp.take_along_axis(rel, rel_idx[None, None], axis=-1)
+        # Scatter the per-query [ws*ws] bias onto the padded key grid with
+        # the relative-position "skew" (pad + reshape): a per-pair gather
+        # here costs ~18 ms/layer on TPU (scalar loads), the skew is free.
+        bias = _skew_bias_to_padded_grid(rel, h, w, ws)
         logits = logits + bias + jnp.where(mask, 0.0, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(vh.dtype), vh,

@@ -89,3 +89,14 @@ def save_mask_png(mask: np.ndarray, path: str, squeeze_idx=None):
 def read_mask_png(path: str) -> np.ndarray:
     from PIL import Image
     return np.array(Image.open(path))
+
+
+def label2colormap(label: np.ndarray) -> np.ndarray:
+    """Id mask [H, W] -> RGB uint8 colormap (reference utils/image.py:58-66,
+    the bit-shuffled VOC-style map used for train-time image logs)."""
+    m = np.asarray(label).astype(np.uint8)
+    cmap = np.zeros(m.shape + (3,), dtype=np.uint8)
+    cmap[..., 0] = (m & 1) << 7 | (m & 8) << 3 | (m & 64) >> 1
+    cmap[..., 1] = (m & 2) << 6 | (m & 16) << 2 | (m & 128) >> 2
+    cmap[..., 2] = (m & 4) << 5 | (m & 32) << 1
+    return cmap

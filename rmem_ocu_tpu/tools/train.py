@@ -33,11 +33,41 @@ def parse_args():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--crop_size', type=int, default=None)
     p.add_argument('--fix_random', action='store_true')
+    p.add_argument('--tblog', action='store_true',
+                   help='TensorBoard scalar + pred/GT image logging '
+                        '(reference trainer.py:687-804)')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed (one process per host; '
                         'replaces the reference mp.spawn + gloo DDP, '
                         'trainer.py:94-113)')
     return p.parse_args()
+
+
+def _tb_log_images(tb, step: int, batch, metrics):
+    """Pred/GT overlay image logs for the episode's final frame
+    (reference trainer.py:712-761)."""
+    import numpy as np
+    from rmem_ocu_tpu.data.eval_datasets import IMAGENET_MEAN, IMAGENET_STD
+    from rmem_ocu_tpu.ops.masks import label2colormap
+
+    img = np.asarray(batch['frames'][0, -1])
+    img = np.clip((img * IMAGENET_STD + IMAGENET_MEAN) * 255, 0,
+                  255).astype(np.uint8)
+    gt = np.asarray(batch['masks'][0, -1]).astype(np.uint8)
+    pred = np.asarray(metrics['pred_mask'][0]).astype(np.uint8)
+    if pred.shape != gt.shape:           # pred is at 4x decoder resolution
+        from PIL import Image
+        pred = np.asarray(Image.fromarray(pred).resize(
+            (gt.shape[1], gt.shape[0]), Image.NEAREST))
+
+    def overlay(mask):
+        cm = label2colormap(mask)
+        return (0.5 * img + 0.5 * cm).astype(np.uint8)
+
+    tb.add_image('train/image', img, step, dataformats='HWC')
+    tb.add_image('train/gt_overlay', overlay(gt), step, dataformats='HWC')
+    tb.add_image('train/pred_overlay', overlay(pred), step,
+                 dataformats='HWC')
 
 
 def main():
@@ -73,6 +103,8 @@ def main():
         overrides['train_save_step'] = args.save_step
     if args.crop_size:
         overrides['data_randomcrop'] = (args.crop_size, args.crop_size)
+    if args.tblog:
+        overrides['train_tblog'] = True
     if overrides:
         exp = replace(exp, **overrides)
 
@@ -130,14 +162,21 @@ def main():
     rng = jax.random.PRNGKey(args.seed + 1)
     log_t0 = time.time()
     metrics_path = os.path.join(result_dir, 'metrics.jsonl')
+    tb = None
+    if exp.train_tblog and jax.process_index() == 0:
+        # reference trainer.py:181-184 (tensorboardX SummaryWriter)
+        from tensorboardX import SummaryWriter
+        tb = SummaryWriter(os.path.join(result_dir, 'tblogs'))
     batch = batch0
-    while int(state.step) < exp.train_total_steps:
+    # host-side step counter: reading state.step every iteration would cost
+    # one device->host sync per step (~85 ms on a tunneled TPU)
+    step = int(state.step)
+    while step < exp.train_total_steps:
         rng, step_rng = jax.random.split(rng)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = trainer.train_step(state, jb, step_rng)
-        batch = next(data_iter)
-
-        step = int(state.step)
+        batch_used, batch = batch, next(data_iter)
+        step += 1
         if step % exp.train_log_step == 0:
             dt = time.time() - log_t0
             log_t0 = time.time()
@@ -164,6 +203,15 @@ def main():
             if jax.process_index() == 0:
                 with open(metrics_path, 'a') as f:
                     f.write(json.dumps(row) + '\n')
+            if tb is not None:
+                # scalar logging (reference trainer.py:763-775)
+                for k in ('loss', 'aux_loss', 'pred_loss', 'iou', 'lr',
+                          'grad_norm'):
+                    tb.add_scalar(f'train/{k}', row[k], step)
+                for i, v in enumerate(row['frame_ious']):
+                    tb.add_scalar(f'train/iou_frame_{i}', v, step)
+        if tb is not None and step % exp.train_img_log_step == 0:
+            _tb_log_images(tb, step, batch_used, metrics)
         if step % exp.train_save_step == 0 and jax.process_index() == 0:
             ckpt.save_checkpoint(ckpt_dir, step, state,
                                  exp.train_max_keep_ckpt)

@@ -42,7 +42,13 @@ class Trainer:
         self.engine = TrainEngine(model, exp)
         self.tx = optim.make_optimizer(exp)
         if mesh is None:
-            mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ('data',))
+            # exp.mesh_shape/mesh_axes describe the ICI mesh; the default
+            # (1,)/('data',) means "all devices on one data axis"
+            devs = np.asarray(jax.devices())
+            shape = tuple(exp.mesh_shape)
+            if int(np.prod(shape)) in (1, 0) or int(np.prod(shape)) == devs.size:
+                shape = (-1,) if len(shape) <= 1 else shape[:-1] + (-1,)
+            mesh = Mesh(devs.reshape(shape), tuple(exp.mesh_axes) or ('data',))
         self.mesh = mesh
         self.ema_decay = 1.0 - 1.0 / (exp.train_total_steps *
                                       exp.train_ema_ratio)
@@ -108,6 +114,11 @@ class Trainer:
         }
         if 'var_loss' in aux:
             metrics['var_loss'] = aux['var_loss']
+        # final-frame predicted mask for image logging (reference
+        # trainer.py:712-761 logs pred/GT overlays); stays on device until
+        # the host actually reads it at a log step
+        metrics['pred_mask'] = jnp.argmax(aux['final_pred_prob'],
+                                          axis=-1).astype(jnp.int32)
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                ema_params=new_ema, step=state.step + 1,
                                ema_updates=state.ema_updates + 1)
