@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-def _build(streams: int):
+def _build(streams: int, model_name: str = 'r50_deaotl'):
     import jax
     import jax.numpy as jnp
     from rmem_ocu_tpu.config import get_config
@@ -36,7 +36,7 @@ def _build(streams: int):
 
     # DAVIS 480p (854x480) -> long edge 624 -> stride-16+1 grid
     H, W = 353, 625
-    exp = get_config('pre_vost_2', model='r50_deaotl',
+    exp = get_config('pre_vost_2', model=model_name,
                      compute_dtype='bfloat16')
     cfg = exp.model
     model = build_vos_model(cfg)
@@ -135,27 +135,30 @@ def _measure_p50_latency(engine, params, state, frames, out_size,
     return max(float(np.median(lat)) * 1e3, 0.0), state
 
 
-def main(streams: int = 1, full: bool = True):
+def main(streams: int = 1, full: bool = True,
+         model_name: str = 'r50_deaotl'):
     fps, state = None, None
-    engine, params, state, frames, out_size = _build(streams)
+    engine, params, state, frames, out_size = _build(streams, model_name)
     fps, state = _measure_fps(engine, params, state, frames, out_size)
 
     record = {
         'metric': ('davis17_480p_multiobj_fps_per_chip'
+                   + ('' if model_name == 'r50_deaotl' else f'_{model_name}')
                    + ('' if streams == 1 else f'_{streams}streams')),
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 60.0, 3),
     }
 
-    if full and streams == 1 and os.environ.get('RMEM_BENCH_FAST') != '1':
+    if (full and streams == 1 and model_name == 'r50_deaotl'
+            and os.environ.get('RMEM_BENCH_FAST') != '1'):
         p50, state = _measure_p50_latency(engine, params, state, frames,
                                           out_size)
         record['p50_frame_latency_ms'] = round(p50, 2)
         # multi-stream serving (BASELINE.json configs[4]): 8 concurrent
         # 480p streams with independent per-stream memory banks
         del state
-        eng8, p8, st8, fr8, sz8 = _build(8)
+        eng8, p8, st8, fr8, sz8 = _build(8, model_name)
         fps8, _ = _measure_fps(eng8, p8, st8, fr8, sz8)
         record['fps_8streams'] = round(fps8, 2)
         record['per_stream_fps_8streams'] = round(fps8 / 8.0, 2)
@@ -168,6 +171,9 @@ if __name__ == '__main__':
     p.add_argument('--streams', type=int, default=1,
                    help='concurrent 480p streams with per-stream memory '
                         'banks (BASELINE.json configs[4])')
+    p.add_argument('--model', type=str, default='r50_deaotl',
+                   help='model registry name, e.g. swinb_deaotl '
+                        '(BASELINE.json configs[3])')
     p.add_argument('--profile', type=str, default=None,
                    help='write a jax.profiler trace to this directory '
                         '(replaces the reference CUDA-event timing, '
@@ -176,6 +182,6 @@ if __name__ == '__main__':
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
-            main(streams=args.streams, full=False)
+            main(streams=args.streams, full=False, model_name=args.model)
     else:
-        main(streams=args.streams)
+        main(streams=args.streams, model_name=args.model)

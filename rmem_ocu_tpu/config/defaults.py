@@ -53,6 +53,12 @@ class ModelConfig:
     freeze_except_temporal_pe: bool = False
     gru_memory: bool = False
     freeze_except_gru: bool = False
+    # TIME_ENCODE / TIME_ENCODE_NORM are dead in the reference: the
+    # sinusoidal encoding is computed into engine.temporal_encoding
+    # (aot_engine.py:293-303, 413-420) but only temporal_pos_emb is ever
+    # passed to the transformer (:318, :431), and the Q/K_time_encode MLPs
+    # (transformer.py:518-526) are instantiated and never called. Kept as
+    # schema-compatible no-ops; intentionally not replicated (see §2.13).
     time_encode: bool = False
     time_encode_norm: bool = False
     no_long_memory: bool = False

@@ -115,17 +115,25 @@ class TrainEngine:
         # --- offline encode all frames in one batch (aot_engine.py:174-196)
         flat = frames.reshape(b * t_total, h, w, 3)
         var_loss = None
+        new_batch_stats = None
+        # mutable collections: 'losses' for the TopDown reconstruction loss
+        # (sown by the encoder, reference aot_engine.py:115-118), and
+        # 'batch_stats' when freeze_bn=False so trainable BN updates its
+        # running stats (reference trains BatchNorm2d/SyncBN when
+        # MODEL_FREEZE_BN is off, trainer.py:104-105)
+        mut = []
         if cfg.var_loss_weight is not None:
-            # TopDown reconstruction loss: sown into the 'losses' collection
-            # by the encoder (resnet_topdown.py), added to the episode loss
-            # scaled by var_loss_weight (reference aot_engine.py:115-118,
-            # models/aot.py:179-183)
-            xs, sown = self.model.apply(
+            mut.append('losses')
+        if 'batch_stats' in params:
+            mut.append('batch_stats')
+        if mut:
+            xs, updated = self.model.apply(
                 params, flat, method=VOSModel.encode_image, rngs=rngs,
-                mutable=['losses'])
-            sows = jax.tree.leaves(sown.get('losses', {}))
+                mutable=mut)
+            sows = jax.tree.leaves(updated.get('losses', {}))
             if sows:
                 var_loss = jnp.mean(jnp.stack(sows))
+            new_batch_stats = updated.get('batch_stats')
         else:
             xs = self.model.apply(params, flat, method=VOSModel.encode_image,
                                   rngs=rngs)
@@ -355,4 +363,9 @@ class TrainEngine:
         if var_loss is not None:
             total = total + cfg.var_loss_weight * var_loss
             aux['var_loss'] = var_loss
+        if new_batch_stats is not None:
+            # updated BN running stats; carried out through the grad's aux
+            # (zero gradient flows to them) and merged into the new params
+            # by the trainer
+            aux['batch_stats'] = new_batch_stats
         return total, aux

@@ -41,9 +41,14 @@ def _device_peak_mem_mb() -> float:
         return 0.0
 
 
-def adaptive_mem_gap(num_frames: int, base_gap: int) -> int:
-    """gap = max(round(frames / 30), 5) (reference evaluator.py:331-335)."""
-    return max(int(round(num_frames / 30.0)), 5)
+def adaptive_mem_gap(num_frames: int, base_gap: int,
+                     no_memory_gap: bool = False) -> int:
+    """gap = max(round(frames / 30), 5), quartered under NO_MEMORY_GAP
+    (reference evaluator.py:328-335)."""
+    gap = max(int(round(num_frames / 30.0)), 5)
+    if no_memory_gap:
+        gap = int(round(gap / 4.0))
+    return gap
 
 
 def separate_mask_groups(mask: np.ndarray, n_groups: int,
@@ -172,7 +177,8 @@ class Evaluator:
 
     def _eval_sequence(self, seq_name: str, seq, verbose: bool):
         exp, cfg = self.exp, self.cfg
-        gap = adaptive_mem_gap(len(seq), exp.test_long_term_mem_gap)
+        gap = adaptive_mem_gap(len(seq), exp.test_long_term_mem_gap,
+                               cfg.no_memory_gap)
         engine = self.engine
         group_size = cfg.max_obj_num
 

@@ -12,23 +12,26 @@ def build_encoder(name: str, frozen_bn: bool = True, freeze_at: int = 0):
     from rmem_ocu_tpu.models.encoders.mobilenetv2 import MobileNetV2Encoder
     from rmem_ocu_tpu.models.encoders.mobilenetv3 import MobileNetV3Encoder
 
-    if not frozen_bn:
-        raise NotImplementedError(
-            'trainable BatchNorm encoders are not wired yet; every reference '
-            'model config sets MODEL_FREEZE_BN=True '
-            '(configs/models/default.py:15)')
+    # frozen_bn=False builds trainable BatchNorm encoders (reference
+    # BatchNorm2d path); running stats then live in the 'batch_stats'
+    # collection, updated when the train engine applies the encoder with
+    # mutable=['batch_stats']. Swin has no BN (LayerNorm only), matching
+    # the reference.
     if name == 'mobilenetv2':
-        return MobileNetV2Encoder(name='encoder')
+        return MobileNetV2Encoder(frozen_bn=frozen_bn, name='encoder')
     if name == 'mobilenetv3':
-        return MobileNetV3Encoder(name='encoder')
+        return MobileNetV3Encoder(frozen_bn=frozen_bn, name='encoder')
     if name == 'resnet50':
-        return ResNetEncoder(layers=(3, 4, 6), name='encoder')
+        return ResNetEncoder(layers=(3, 4, 6), frozen_bn=frozen_bn,
+                             name='encoder')
     if 'resnet50_topdown' in name:
         from rmem_ocu_tpu.models.encoders.resnet_topdown import (
             ResNetTopDownEncoder)
-        return ResNetTopDownEncoder(layers=(3, 4, 6), name='encoder')
+        return ResNetTopDownEncoder(layers=(3, 4, 6), frozen_bn=frozen_bn,
+                                    name='encoder')
     if name == 'resnet101':
-        return ResNetEncoder(layers=(3, 4, 23), name='encoder')
+        return ResNetEncoder(layers=(3, 4, 23), frozen_bn=frozen_bn,
+                             name='encoder')
     if name == 'swin_base':
         from rmem_ocu_tpu.models.encoders.swin import SwinEncoder
         return SwinEncoder(name='encoder')
@@ -36,5 +39,5 @@ def build_encoder(name: str, frozen_bn: bool = True, freeze_at: int = 0):
         from rmem_ocu_tpu.models.encoders.resnest import ResNeStEncoder
         return ResNeStEncoder(
             layers=(3, 4, 23) if '101' in name else (3, 4, 6),
-            name='encoder')
+            frozen_bn=frozen_bn, name='encoder')
     raise NotImplementedError(f'unknown encoder {name}')

@@ -7,7 +7,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from rmem_ocu_tpu.ops.layers import FrozenBatchNorm
+from rmem_ocu_tpu.ops.layers import make_bn
 
 
 def _make_divisible(v: float, divisor: int = 8) -> int:
@@ -23,6 +23,7 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     groups: int = 1
     dilation: int = 1
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -31,7 +32,7 @@ class ConvBNReLU(nn.Module):
                     padding=pad, kernel_dilation=self.dilation,
                     feature_group_count=self.groups, use_bias=False,
                     name='conv')(x)
-        x = FrozenBatchNorm(self.out, name='bn')(x)
+        x = make_bn(self.out, self.frozen_bn, 'bn')(x)
         return jnp.clip(x, 0.0, 6.0)  # ReLU6
 
 
@@ -41,6 +42,7 @@ class InvertedResidual(nn.Module):
     stride: int
     dilation: int
     expand_ratio: int
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -49,13 +51,15 @@ class InvertedResidual(nn.Module):
         out = x
         i = 0
         if self.expand_ratio != 1:
-            out = ConvBNReLU(hidden, kernel=1, name=f'conv_{i}')(out)
+            out = ConvBNReLU(hidden, kernel=1, frozen_bn=self.frozen_bn,
+                             name=f'conv_{i}')(out)
             i += 1
         out = ConvBNReLU(hidden, stride=self.stride, dilation=self.dilation,
-                         groups=hidden, name=f'conv_{i}')(out)
+                         groups=hidden, frozen_bn=self.frozen_bn,
+                         name=f'conv_{i}')(out)
         out = nn.Conv(self.oup, (1, 1), use_bias=False,
                       name=f'conv_{i + 1}')(out)
-        out = FrozenBatchNorm(self.oup, name=f'bn_{i + 1}')(out)
+        out = make_bn(self.oup, self.frozen_bn, f'bn_{i + 1}')(out)
         return x + out if use_res else out
 
 
@@ -74,6 +78,7 @@ _SETTING = [
 class MobileNetV2Encoder(nn.Module):
     output_stride: int = 16
     width_mult: float = 1.0
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -82,7 +87,8 @@ class MobileNetV2Encoder(nn.Module):
         last_channel = _make_divisible(1280 * max(1.0, self.width_mult))
 
         feats = []
-        x = ConvBNReLU(input_channel, stride=2, name='feat_0')(x)
+        x = ConvBNReLU(input_channel, stride=2, frozen_bn=self.frozen_bn,
+                       name='feat_0')(x)
         feats.append(x)
         current_stride, rate = 2, 1
         idx = 1
@@ -99,11 +105,12 @@ class MobileNetV2Encoder(nn.Module):
                     input_channel, out_ch,
                     stride if i == 0 else 1,
                     dilation if i == 0 else rate,
-                    t, name=f'feat_{idx}')(x)
+                    t, frozen_bn=self.frozen_bn, name=f'feat_{idx}')(x)
                 input_channel = out_ch
                 feats.append(x)
                 idx += 1
-        x = ConvBNReLU(last_channel, kernel=1, name=f'feat_{idx}')(x)
+        x = ConvBNReLU(last_channel, kernel=1, frozen_bn=self.frozen_bn,
+                       name=f'feat_{idx}')(x)
         feats.append(x)
 
         # stage split mirrors reference mobilenetv2.py:210-215:

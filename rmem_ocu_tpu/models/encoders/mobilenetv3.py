@@ -7,7 +7,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from rmem_ocu_tpu.ops.layers import FrozenBatchNorm
+from rmem_ocu_tpu.ops.layers import make_bn
 
 
 def _make_divisible(v, divisor=8):
@@ -49,6 +49,7 @@ class MBV3Block(nn.Module):
     dilation: int
     use_se: bool
     use_hs: bool
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +59,7 @@ class MBV3Block(nn.Module):
         if self.inp != self.hidden:
             out = nn.Conv(self.hidden, (1, 1), use_bias=False,
                           name='pw')(out)
-            out = FrozenBatchNorm(self.hidden, name='pw_bn')(out)
+            out = make_bn(self.hidden, self.frozen_bn, 'pw_bn')(out)
             out = act(out)
         pad = (self.kernel - 1) // 2 * self.dilation
         out = nn.Conv(self.hidden, (self.kernel, self.kernel),
@@ -66,12 +67,12 @@ class MBV3Block(nn.Module):
                       kernel_dilation=self.dilation,
                       feature_group_count=self.hidden, use_bias=False,
                       name='dw')(out)
-        out = FrozenBatchNorm(self.hidden, name='dw_bn')(out)
+        out = make_bn(self.hidden, self.frozen_bn, 'dw_bn')(out)
         if self.use_se:
             out = SELayer(self.hidden, name='se')(out)
         out = act(out)
         out = nn.Conv(self.oup, (1, 1), use_bias=False, name='pw_linear')(out)
-        out = FrozenBatchNorm(self.oup, name='pw_linear_bn')(out)
+        out = make_bn(self.oup, self.frozen_bn, 'pw_linear_bn')(out)
         return x + out if identity else out
 
 
@@ -98,13 +99,14 @@ _CFGS = [
 class MobileNetV3Encoder(nn.Module):
     output_stride: int = 16
     width_mult: float = 1.0
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
         input_channel = _make_divisible(16 * self.width_mult)
         x = nn.Conv(input_channel, (3, 3), strides=2, padding=1,
                     use_bias=False, name='stem')(x)
-        x = FrozenBatchNorm(input_channel, name='stem_bn')(x)
+        x = make_bn(input_channel, self.frozen_bn, 'stem_bn')(x)
         x = h_swish(x)
 
         feats = []
@@ -119,13 +121,14 @@ class MobileNetV3Encoder(nn.Module):
             out_ch = _make_divisible(c * self.width_mult)
             hidden = _make_divisible(input_channel * t)
             x = MBV3Block(input_channel, hidden, out_ch, k, stride, dilation,
-                          bool(use_se), bool(use_hs), name=f'block_{idx}')(x)
+                          bool(use_se), bool(use_hs),
+                          frozen_bn=self.frozen_bn, name=f'block_{idx}')(x)
             input_channel = out_ch
             feats.append(x)
 
         last = nn.Conv(_make_divisible(input_channel * 6), (1, 1),
                        use_bias=False, name='last_conv')(x)
-        last = FrozenBatchNorm(last.shape[-1], name='last_bn')(last)
+        last = make_bn(last.shape[-1], self.frozen_bn, 'last_bn')(last)
         last = h_swish(last)
         # 4x after block 2, 8x after block 5, 16x after block 11, final
         return [feats[2], feats[5], feats[11], last]

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from rmem_ocu_tpu.ops.layers import FrozenBatchNorm
+from rmem_ocu_tpu.ops.layers import make_bn
 
 
 class SplAtConv2d(nn.Module):
@@ -25,6 +25,7 @@ class SplAtConv2d(nn.Module):
     groups: int = 1
     radix: int = 2
     reduction_factor: int = 4
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -37,7 +38,7 @@ class SplAtConv2d(nn.Module):
                     kernel_dilation=self.dilation,
                     feature_group_count=g * r, use_bias=False,
                     name='conv')(x)
-        x = FrozenBatchNorm(self.channels * r, name='bn0')(x)
+        x = make_bn(self.channels * r, self.frozen_bn, 'bn0')(x)
         x = nn.relu(x)
 
         b = x.shape[0]
@@ -46,7 +47,7 @@ class SplAtConv2d(nn.Module):
         gap = jnp.mean(gap, axis=(1, 2), keepdims=True)
         gap = nn.Conv(inter, (1, 1), feature_group_count=g,
                       name='fc1')(gap)
-        gap = FrozenBatchNorm(inter, name='bn1')(gap)
+        gap = make_bn(inter, self.frozen_bn, 'bn1')(gap)
         gap = nn.relu(gap)
         atten = nn.Conv(self.channels * r, (1, 1), feature_group_count=g,
                         name='fc2')(gap)
@@ -82,24 +83,26 @@ class ResNeStBottleneck(nn.Module):
     avd: bool = False
     has_downsample: bool = False
     avg_down: bool = True
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
         residual = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
-        out = FrozenBatchNorm(self.planes, name='bn1')(out)
+        out = make_bn(self.planes, self.frozen_bn, 'bn1')(out)
         out = nn.relu(out)
 
         conv2_stride = 1 if self.avd else self.stride
         out = SplAtConv2d(self.planes, 3, conv2_stride, self.dilation,
-                          radix=self.radix, name='conv2')(out)
+                          radix=self.radix, frozen_bn=self.frozen_bn,
+                          name='conv2')(out)
         if self.avd:
             out = nn.avg_pool(out, (3, 3), strides=(self.stride,) * 2,
                               padding=((1, 1), (1, 1)))
 
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       name='conv3')(out)
-        out = FrozenBatchNorm(self.planes * 4, name='bn3')(out)
+        out = make_bn(self.planes * 4, self.frozen_bn, 'bn3')(out)
 
         if self.has_downsample:
             res = x
@@ -111,14 +114,15 @@ class ResNeStBottleneck(nn.Module):
                 res = _avg_pool_ceil(res, self.stride)
             res = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                           name='downsample_conv')(res)
-            residual = FrozenBatchNorm(self.planes * 4,
-                                       name='downsample_bn')(res)
+            residual = make_bn(self.planes * 4, self.frozen_bn,
+                               'downsample_bn')(res)
         return nn.relu(out + residual)
 
 
 class ResNeStEncoder(nn.Module):
     layers: Tuple[int, int, int] = (3, 4, 6)    # resnest50; 101 = (3,4,23)
     stem_width: int = 32                         # 64 for resnest101
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -127,15 +131,15 @@ class ResNeStEncoder(nn.Module):
         # deep stem (reference resnet.py:232-252)
         x = nn.Conv(sw, (3, 3), strides=2, padding=1, use_bias=False,
                     name='stem_conv1')(x)
-        x = FrozenBatchNorm(sw, name='stem_bn1')(x)
+        x = make_bn(sw, self.frozen_bn, 'stem_bn1')(x)
         x = nn.relu(x)
         x = nn.Conv(sw, (3, 3), padding=1, use_bias=False,
                     name='stem_conv2')(x)
-        x = FrozenBatchNorm(sw, name='stem_bn2')(x)
+        x = make_bn(sw, self.frozen_bn, 'stem_bn2')(x)
         x = nn.relu(x)
         x = nn.Conv(sw * 2, (3, 3), padding=1, use_bias=False,
                     name='stem_conv3')(x)
-        x = FrozenBatchNorm(sw * 2, name='stem_bn3')(x)
+        x = make_bn(sw * 2, self.frozen_bn, 'stem_bn3')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -154,6 +158,7 @@ class ResNeStEncoder(nn.Module):
                     avd=first and (stride > 1 or is_first),
                     has_downsample=first and (
                         stride != 1 or inplanes != planes * 4),
+                    frozen_bn=self.frozen_bn,
                     name=f'layer{stage_idx + 1}_{block_idx}')(x)
                 inplanes = planes * 4
             xs.append(x)

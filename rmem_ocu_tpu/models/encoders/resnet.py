@@ -8,7 +8,7 @@ from typing import Tuple
 
 import flax.linen as nn
 
-from rmem_ocu_tpu.ops.layers import FrozenBatchNorm
+from rmem_ocu_tpu.ops.layers import make_bn
 
 
 class Bottleneck(nn.Module):
@@ -16,32 +16,34 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
         residual = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
-        out = FrozenBatchNorm(self.planes, name='bn1')(out)
+        out = make_bn(self.planes, self.frozen_bn, 'bn1')(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=self.stride,
                       kernel_dilation=self.dilation, padding=self.dilation,
                       use_bias=False, name='conv2')(out)
-        out = FrozenBatchNorm(self.planes, name='bn2')(out)
+        out = make_bn(self.planes, self.frozen_bn, 'bn2')(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       name='conv3')(out)
-        out = FrozenBatchNorm(self.planes * 4, name='bn3')(out)
+        out = make_bn(self.planes * 4, self.frozen_bn, 'bn3')(out)
         if self.has_downsample:
             residual = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
                                use_bias=False, name='downsample_conv')(x)
-            residual = FrozenBatchNorm(self.planes * 4,
-                                       name='downsample_bn')(residual)
+            residual = make_bn(self.planes * 4, self.frozen_bn,
+                               'downsample_bn')(residual)
         return nn.relu(out + residual)
 
 
 class ResNetEncoder(nn.Module):
     layers: Tuple[int, int, int] = (3, 4, 6)   # r50; r101 = (3, 4, 23)
     output_stride: int = 16
+    frozen_bn: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -51,7 +53,7 @@ class ResNetEncoder(nn.Module):
 
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     name='conv1')(x)
-        x = FrozenBatchNorm(64, name='bn1')(x)
+        x = make_bn(64, self.frozen_bn, 'bn1')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -69,6 +71,7 @@ class ResNetEncoder(nn.Module):
                     dilation=max(dilation // 2, 1) if first else dilation,
                     has_downsample=first and (
                         stride != 1 or inplanes != planes * 4),
+                    frozen_bn=self.frozen_bn,
                     name=f'layer{stage_idx + 1}_{block_idx}')(x)
                 inplanes = planes * 4
             xs.append(x)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from rmem_ocu_tpu.models.encoders.resnet import Bottleneck
-from rmem_ocu_tpu.ops.layers import FrozenBatchNorm
+from rmem_ocu_tpu.ops.layers import make_bn
 from rmem_ocu_tpu.ops.resize import interpolate_bilinear
 
 
@@ -46,11 +46,12 @@ class DecodeBlock(nn.Module):
 class ResNetTopDownEncoder(nn.Module):
     layers: Tuple[int, int, int] = (3, 4, 6)
     use_mask: bool = False
+    frozen_bn: bool = True
 
     def setup(self):
         self.stem_conv = nn.Conv(64, (7, 7), strides=2, padding=3,
                                  use_bias=False, name='conv1')
-        self.stem_bn = FrozenBatchNorm(64, name='bn1')
+        self.stem_bn = make_bn(64, self.frozen_bn, 'bn1')
         blocks = []
         strides = (1, 2, 2)
         inplanes = 64
@@ -64,6 +65,7 @@ class ResNetTopDownEncoder(nn.Module):
                     planes, stride=stride, dilation=1,
                     has_downsample=first and (stride != 1
                                               or inplanes != planes * 4),
+                    frozen_bn=self.frozen_bn,
                     name=f'layer{stage_idx + 1}_{i}'))
                 inplanes = planes * 4
             blocks.append(stage)

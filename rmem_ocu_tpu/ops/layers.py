@@ -150,12 +150,51 @@ class FrozenBatchNorm(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """Trainable BatchNorm wrapper (used when freeze_bn=False)."""
+    """Trainable BatchNorm, torch-faithful (used when freeze_bn=False).
+
+    Semantics match torch.nn.BatchNorm2d exactly: in training the batch is
+    normalized with its own *biased* variance while the running variance is
+    updated with the *unbiased* one at momentum 0.1; in eval the running
+    stats are used. Training mode is detected from the apply call — pass
+    mutable=['batch_stats'] to train. Leaf names mirror FrozenBatchNorm
+    (weight/bias + running_mean/running_var) so the torch converter and the
+    optimizer's buffer-freeze rule apply unchanged; the running stats live
+    in the 'batch_stats' collection. Under a sharded batch the mean/var
+    reductions are global (GSPMD inserts the collectives), which is the
+    reference's SyncBatchNorm (trainer.py:104-105) for free.
+    """
     dim: int
     epsilon: float = EPS
+    momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = True):
-        return nn.BatchNorm(use_running_average=use_running_average,
-                            epsilon=self.epsilon, momentum=0.9,
-                            name='bn')(x)
+    def __call__(self, x):
+        weight = self.param('weight', nn.initializers.ones, (self.dim,))
+        bias = self.param('bias', nn.initializers.zeros, (self.dim,))
+        ra_mean = self.variable('batch_stats', 'running_mean',
+                                lambda: jnp.zeros((self.dim,)))
+        ra_var = self.variable('batch_stats', 'running_var',
+                               lambda: jnp.ones((self.dim,)))
+        training = self.is_mutable_collection('batch_stats')
+        if training:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            n = x.size / self.dim
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean
+            ra_var.value = ((1 - m) * ra_var.value
+                            + m * var * n / jnp.maximum(n - 1, 1))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        scale = weight * jax.lax.rsqrt(var + self.epsilon)
+        offset = bias - mean * scale
+        return x * scale.astype(x.dtype) + offset.astype(x.dtype)
+
+
+def make_bn(dim: int, frozen: bool, name: str):
+    """Encoder BN factory (reference build_encoder picks FrozenBatchNorm2d
+    vs BatchNorm2d, encoders/__init__.py:10-37)."""
+    return (FrozenBatchNorm(dim, name=name) if frozen
+            else BatchNorm(dim, name=name))

@@ -113,13 +113,18 @@ def make_masks(params, exp: ExpConfig,
 
     def classify(keypath, leaf):
         name = path_str(keypath)
+        # BN running stats are buffers in both modes (trainable BN updates
+        # them through the mutable 'batch_stats' collection, not the
+        # optimizer)
         frozen = any(l in name for l in FROZEN_BN_LEAVES)
         # frozen-BN affine params are buffers in the reference (never
-        # trained): freeze weight/bias living directly beside running stats
-        if name.endswith(('bn.weight', 'bn1.weight', 'bn2.weight',
-                          'bn3.weight', 'downsample_bn.weight')) or \
-           name.endswith(('bn.bias', 'bn1.bias', 'bn2.bias', 'bn3.bias',
-                          'downsample_bn.bias')):
+        # trained): freeze weight/bias living directly beside running
+        # stats — but only under freeze_bn; trainable BN trains its affine
+        if mcfg.freeze_bn and (
+                name.endswith(('bn.weight', 'bn1.weight', 'bn2.weight',
+                               'bn3.weight', 'downsample_bn.weight'))
+                or name.endswith(('bn.bias', 'bn1.bias', 'bn2.bias',
+                                  'bn3.bias', 'downsample_bn.bias'))):
             frozen = True
         for f in extra_frozen:
             if f in name:

@@ -100,6 +100,14 @@ class Trainer:
                                           state.params)
         new_params = optim.apply_updates(state.params, updates, param_masks,
                                          now_lr, exp)
+        if 'batch_stats' in aux:
+            # trainable-BN running stats: overwrite with the episode's
+            # updated values (their grads are zero and lr-0-masked, so the
+            # optimizer left them untouched); the EMA below then tracks
+            # buffers too, like the reference's get_param_buffer_for_ema
+            # (utils/ema.py:96-103)
+            new_params = dict(new_params)
+            new_params['batch_stats'] = aux.pop('batch_stats')
         new_ema = optim.ema_update(state.ema_params, new_params,
                                    state.ema_updates + 1, self.ema_decay)
         metrics = {

@@ -215,8 +215,10 @@ def convert_torch_params(state_dict: Dict, flax_params, cfg,
         if path and path[0] in ('losses', 'intermediates', 'cache'):
             out[path] = np.asarray(val)
             continue
-        # drop the top-level 'params' collection name
-        parts = tuple(p for p in path if p != 'params')
+        # drop the top-level collection name: 'params', and 'batch_stats'
+        # for trainable-BN running stats (same torch key, running_mean/
+        # running_var leaves, just a different flax collection)
+        parts = tuple(p for p in path if p not in ('params', 'batch_stats'))
         leaf = parts[-1]
         prefix_parts = parts[:-1]
 

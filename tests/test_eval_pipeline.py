@@ -28,6 +28,9 @@ def test_adaptive_mem_gap():
     assert adaptive_mem_gap(60, 5) == 5
     assert adaptive_mem_gap(300, 5) == 10
     assert adaptive_mem_gap(1000, 5) == 33
+    # NO_MEMORY_GAP quarters the adaptive gap (reference evaluator.py:333)
+    assert adaptive_mem_gap(300, 5, no_memory_gap=True) == 2
+    assert adaptive_mem_gap(60, 5, no_memory_gap=True) == 1
 
 
 def test_evaluator_end_to_end_synthetic(tmp_path):
