@@ -34,11 +34,13 @@ def _build(streams: int, model_name: str = 'r50_deaotl'):
     from rmem_ocu_tpu.models import build_vos_model
     from rmem_ocu_tpu.utils.precision import cast_floating
 
-    # DAVIS 480p (854x480) -> long edge 624 -> stride-16+1 grid
-    H, W = 353, 625
+    # DAVIS 480p (854x480) -> long edge 624 -> stride-16(+1) grid
     exp = get_config('pre_vost_2', model=model_name,
                      compute_dtype='bfloat16')
     cfg = exp.model
+    # MultiRestrictSize snaps to 16k+1 for align_corners models, 16k
+    # otherwise (reference video_transforms.py:559-657)
+    H, W = (353, 625) if cfg.align_corners else (352, 624)
     model = build_vos_model(cfg)
 
     B = streams
@@ -50,7 +52,12 @@ def _build(streams: int, model_name: str = 'r50_deaotl'):
     params = cast_floating(params, jnp.bfloat16)
 
     engine = InferEngine(model, exp, long_term_mem_gap=5)
-    h16, w16 = (H - 1) // 16 + 1, (W - 1) // 16 + 1
+    # stride-16 grid: +1 for align_corners models (MultiRestrictSize snaps
+    # sizes to 16k+1 there), plain //16 otherwise (e.g. swin)
+    if cfg.align_corners:
+        h16, w16 = (H - 1) // 16 + 1, (W - 1) // 16 + 1
+    else:
+        h16, w16 = H // 16, W // 16
     state = engine.init_state(B, (h16, w16))
     state = engine.add_reference_frame(params, state, img, mask,
                                        jnp.full((B,), 3, jnp.int32))
@@ -132,7 +139,7 @@ def _measure_p50_latency(engine, params, state, frames, out_size,
         chk, state = frame_step(params, state, frames[i % len(frames)])
         float(chk)
         lat.append(time.perf_counter() - t0 - sync)
-    return max(float(np.median(lat)) * 1e3, 0.0), state
+    return float(np.median(lat)) * 1e3, state
 
 
 def main(streams: int = 1, full: bool = True,
@@ -154,7 +161,10 @@ def main(streams: int = 1, full: bool = True,
             and os.environ.get('RMEM_BENCH_FAST') != '1'):
         p50, state = _measure_p50_latency(engine, params, state, frames,
                                           out_size)
-        record['p50_frame_latency_ms'] = round(p50, 2)
+        # once the frame is faster than the tunnel-RTT jitter, the
+        # RTT-subtracted sample is noise; the scan-measured per-frame time
+        # is the honest lower bound on single-frame latency
+        record['p50_frame_latency_ms'] = round(max(p50, 1000.0 / fps), 2)
         # multi-stream serving (BASELINE.json configs[4]): 8 concurrent
         # 480p streams with independent per-stream memory banks
         del state

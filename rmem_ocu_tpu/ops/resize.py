@@ -59,6 +59,17 @@ _PREC = jax.lax.Precision.HIGHEST
 def _apply_separable(x, mh, mw):
     # x: [..., H, W, C]; contract H then W with interp matrices.
     orig_dtype = x.dtype
+    if orig_dtype == jnp.bfloat16:
+        # bf16 inputs (opt-in bf16 inference): single-pass MXU matmuls with
+        # fp32 accumulation instead of the multi-pass HIGHEST fp32 path —
+        # the weights' bf16 rounding (~1e-3 relative) is below bf16 input
+        # precision anyway, and this is ~3x cheaper on the MXU
+        x = jnp.einsum('oh,...hwc->...owc', jnp.asarray(mh), x,
+                       preferred_element_type=jnp.float32)
+        x = jnp.einsum('ow,...hwc->...hoc', jnp.asarray(mw),
+                       x.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return x.astype(orig_dtype)
     x = x.astype(jnp.float32)
     x = jnp.einsum('oh,...hwc->...owc', jnp.asarray(mh), x, precision=_PREC)
     x = jnp.einsum('ow,...hwc->...hoc', jnp.asarray(mw), x, precision=_PREC)
