@@ -81,6 +81,13 @@ def main():
         def __len__(self):
             return 1
 
+    # pre-copy the frame-0 GT into the results, like the eval dataset
+    # wrappers do (reference eval_datasets.py:311-334) — the engine never
+    # re-predicts the reference frame
+    os.makedirs(os.path.join(args.output, 'masks', seq_name), exist_ok=True)
+    shutil.copyfile(args.mask, os.path.join(args.output, 'masks', seq_name,
+                                            lbl_name))
+
     ev = Evaluator(model, params, exp, os.path.join(args.output, 'masks'))
     ev.evaluate(_DS())
 
