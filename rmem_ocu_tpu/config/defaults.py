@@ -69,6 +69,18 @@ class ModelConfig:
     oracle: bool = False
     var_loss_weight: Optional[float] = None  # topdown reconstruction loss
 
+    def __post_init__(self):
+        # NO_MEMORY_GAP couples two derived settings in the reference
+        # (configs/models/r50_deaotl.py:23,27): MODEL_ATT_HEADS becomes 2
+        # and REVERSE_LOSS is quartered. Applied on construction so
+        # dataclasses.replace(model, no_memory_gap=True) reproduces the
+        # reference recipe, not just the gap change.
+        if self.no_memory_gap:
+            if self.att_heads == 1:
+                object.__setattr__(self, 'att_heads', 2)
+            if self.reverse_loss == 0.4:
+                object.__setattr__(self, 'reverse_loss', 0.1)
+
     @property
     def id_dim(self) -> int:
         return self.max_obj_num + (2 if self.ignore_token else 1)

@@ -175,7 +175,12 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros((self.dim,)))
         ra_var = self.variable('batch_stats', 'running_var',
                                lambda: jnp.ones((self.dim,)))
-        training = self.is_mutable_collection('batch_stats')
+        # is_mutable_collection is also true during Module.init (flax makes
+        # every collection mutable there); without the is_initializing
+        # guard a from-scratch init would contaminate the fresh (0, 1)
+        # buffers with the init batch's statistics
+        training = (self.is_mutable_collection('batch_stats')
+                    and not self.is_initializing())
         if training:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))

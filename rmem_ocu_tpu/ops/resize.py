@@ -60,13 +60,16 @@ def _apply_separable(x, mh, mw):
     # x: [..., H, W, C]; contract H then W with interp matrices.
     orig_dtype = x.dtype
     if orig_dtype == jnp.bfloat16:
-        # bf16 inputs (opt-in bf16 inference): single-pass MXU matmuls with
-        # fp32 accumulation instead of the multi-pass HIGHEST fp32 path —
-        # the weights' bf16 rounding (~1e-3 relative) is below bf16 input
-        # precision anyway, and this is ~3x cheaper on the MXU
-        x = jnp.einsum('oh,...hwc->...owc', jnp.asarray(mh), x,
+        # bf16 inputs (opt-in bf16 inference): single-pass MXU matmuls on
+        # bf16 operands with fp32 accumulation, instead of the multi-pass
+        # HIGHEST fp32 path — the weights' bf16 rounding (~1e-3 relative)
+        # is below bf16 input precision anyway. The matrices must be cast
+        # explicitly: a bf16 x f32 einsum silently promotes to f32.
+        x = jnp.einsum('oh,...hwc->...owc',
+                       jnp.asarray(mh, jnp.bfloat16), x,
                        preferred_element_type=jnp.float32)
-        x = jnp.einsum('ow,...hwc->...hoc', jnp.asarray(mw),
+        x = jnp.einsum('ow,...hwc->...hoc',
+                       jnp.asarray(mw, jnp.bfloat16),
                        x.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
         return x.astype(orig_dtype)

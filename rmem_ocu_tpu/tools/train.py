@@ -168,15 +168,17 @@ def main():
         from tensorboardX import SummaryWriter
         tb = SummaryWriter(os.path.join(result_dir, 'tblogs'))
     batch = batch0
-    # host-side step counter: reading state.step every iteration would cost
-    # one device->host sync per step (~85 ms on a tunneled TPU)
+    # trainer.host_step mirrors state.step host-side (reading the device
+    # scalar every iteration would cost one ~85 ms sync per step); the one
+    # mirror lives on the Trainer so the curriculum switch and this loop
+    # can never disagree
     step = int(state.step)
     while step < exp.train_total_steps:
         rng, step_rng = jax.random.split(rng)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = trainer.train_step(state, jb, step_rng)
         batch_used, batch = batch, next(data_iter)
-        step += 1
+        step = trainer.host_step
         if step % exp.train_log_step == 0:
             dt = time.time() - log_t0
             log_t0 = time.time()

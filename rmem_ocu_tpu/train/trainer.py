@@ -59,6 +59,13 @@ class Trainer:
         # tracked by counting train_step calls.
         self._host_step: Optional[int] = None
 
+    @property
+    def host_step(self) -> int:
+        """Host-side mirror of state.step (no device sync); valid after the
+        first train_step / resume. The CLIs must use this rather than keep
+        their own counter, so there is exactly one mirror to desync."""
+        return self._host_step or 0
+
     # -------------------------------------------------------------- #
     def init_state(self, rng, sample_frames, sample_masks) -> TrainState:
         b, t, h, w, _ = sample_frames.shape

@@ -69,6 +69,24 @@ def test_tb_image_log_helper():
         assert tb.images[tag].dtype == np.uint8
 
 
+def test_no_memory_gap_couples_derived_settings():
+    """NO_MEMORY_GAP sets att_heads=2 and quarters reverse_loss
+    (reference configs/models/r50_deaotl.py:23,27), idempotently."""
+    from dataclasses import replace
+
+    base = get_config('pre_vost_2', model='r50_deaotl').model
+    assert base.att_heads == 1 and base.reverse_loss == 0.4
+    m = replace(base, no_memory_gap=True)
+    assert m.att_heads == 2
+    assert m.reverse_loss == 0.1
+    # roundtrip through the snapshot does not re-derive
+    d = json.loads(json.dumps(config_to_dict(
+        replace(get_config('pre_vost_2', model='r50_deaotl'),
+                model=m))))
+    m2 = config_from_dict(d).model
+    assert m2 == m
+
+
 def test_config_snapshot_roundtrip():
     exp = get_config('pre_vost_2', model='r50_deaotl')
     d = json.loads(json.dumps(config_to_dict(exp)))
