@@ -5,6 +5,12 @@ GatedPropagationModule). The visual branch (tgt) and id branch (tgt_id)
 propagate jointly; memory holds (K, V, ID_V) per layer. The long-term read is
 one gated attention over the padded ring bank (empty slots masked to -1e9),
 and layer-0's per-slot attention mass feeds RMem eviction.
+
+GRU_MEMORY is intentionally absent here: the reference's DualBranchGPM
+hardcodes self.gru_memory = False (transformer.py:728), its blocks never
+build memory_grus, and the gru branch of its restrict_long_memories would
+IndexError on the 4-tuple memory anyway — ConvGRU compression is an
+AOT/LSTT-only feature (see models/lstt.py + engine/infer_engine.py).
 """
 from __future__ import annotations
 

@@ -164,6 +164,12 @@ def _flax_key_to_torch(path: tuple, cfg) -> str:
                        else 'downsample.1')
         elif p == 'lstt':
             out.append('LSTT')
+        elif p == 'memory_gru_k':
+            # per-layer ConvGRU compressors: ModuleList [K-gru, V-gru]
+            # (reference transformer.py:529-545)
+            out.append('memory_grus.0')
+        elif p == 'memory_gru_v':
+            out.append('memory_grus.1')
         elif p == 'gn' and i > 0 and parts[i - 1].startswith('norm'):
             out.append('gn')  # GroupNorm1D inner
         else:
