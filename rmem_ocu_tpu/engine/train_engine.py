@@ -318,8 +318,15 @@ class TrainEngine:
                     return cfg.reverse_loss * self._frame_loss(
                         logits_r, masks[:, 0], obj_nums, step, input_size)
 
+                # fires on every long write while training, like the
+                # reference (aot_engine.py:372-396 under self.training) —
+                # except after the final frame: the reference's episode
+                # loop calls update_short_term_memory only T-2 times
+                # (aot_engine.py:91-101), so no memory write (and hence no
+                # reverse pass) follows the last propagation
+                rev_gate = jnp.logical_and(do_long, t_idx < t_total - 1)
                 rev_loss = jax.lax.cond(
-                    jnp.logical_and(do_long, t_idx > 1), reverse_loss,
+                    rev_gate, reverse_loss,
                     lambda _: jnp.zeros_like(loss), None)
 
             new_carry = EpisodeCarry(
@@ -329,7 +336,10 @@ class TrainEngine:
                 prev_pred_prob=jax.nn.softmax(
                     logits.astype(jnp.float32), -1),
                 first_short=first_short)
-            return new_carry, (loss + rev_loss, iou)
+            rev_fired = (rev_gate.astype(jnp.float32)
+                         if cfg.reverse_infer and cfg.vos == 'aot'
+                         else jnp.zeros(()))
+            return new_carry, (loss, rev_loss, rev_fired, iou)
 
         xs_scan = (
             jnp.arange(1, t_total, dtype=jnp.int32),
@@ -339,15 +349,20 @@ class TrainEngine:
             jnp.moveaxis(ignore_all[:, 1:], 1, 0),
             jnp.moveaxis(masks[:, 1:], 1, 0),
         )
-        carry, (frame_losses, frame_ious) = jax.lax.scan(
-            jax.checkpoint(step_fn), carry, xs_scan)
+        carry, (frame_losses, rev_losses, rev_fired, frame_ious) = \
+            jax.lax.scan(jax.checkpoint(step_fn), carry, xs_scan)
 
         # loss aggregation (reference aot_engine.py:108-113): aux weight
-        # decays linearly to 0 over train_aux_loss_ratio of training
+        # decays linearly to 0 over train_aux_loss_ratio of training.
+        # REVERSE_INFER losses join curr_losses as extra entries in the
+        # reference (update_short_term_memory's return appended at
+        # aot_engine.py:95-101), so pred_loss is a mean whose denominator
+        # grows by one per firing — not a separately-weighted term.
         aux_step = exp.train_total_steps * exp.train_aux_loss_ratio + 1e-5
         aux_w = exp.train_aux_loss_weight * jnp.maximum(
             aux_step - step, 0.0) / aux_step
-        pred_loss = jnp.mean(frame_losses)
+        n_entries = frame_losses.size + jnp.sum(rev_fired) * b
+        pred_loss = (jnp.sum(frame_losses) + jnp.sum(rev_losses)) / n_entries
         total = aux_w * jnp.mean(aux_loss) + pred_loss
         all_ious = jnp.concatenate([iou0[None], frame_ious])
         aux = {

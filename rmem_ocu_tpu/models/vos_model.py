@@ -22,6 +22,13 @@ from rmem_ocu_tpu.ops.position import sine_position_embedding
 
 class VOSModel(nn.Module):
     cfg: ModelConfig
+    # train-time stochastic-depth / dropout rates (reference
+    # cfg.TRAIN_LSTT_DROPPATH{,_SCALING} and TRAIN_LSTT_EMB_DROPOUT feed
+    # the LSTT/GPM constructors, aot.py:24-43); build_vos_model fills them
+    # from ExpConfig. Inactive whenever the stacks run deterministic.
+    droppath: float = 0.1
+    droppath_scaling: bool = False
+    emb_dropout: float = 0.0
 
     @property
     def is_deaot(self) -> bool:
@@ -39,6 +46,8 @@ class VOSModel(nn.Module):
             self.lstt = GPMStack(
                 num_layers=cfg.lstt_num, d_model=d,
                 self_heads=cfg.self_heads, att_heads=cfg.att_heads,
+                emb_dropout=self.emb_dropout, droppath=self.droppath,
+                droppath_scaling=self.droppath_scaling,
                 intermediate_norm=cfg.decoder_intermediate_lstt,
                 name='lstt')
         else:
@@ -46,6 +55,8 @@ class VOSModel(nn.Module):
                 num_layers=cfg.lstt_num, d_model=d,
                 self_heads=cfg.self_heads, att_heads=cfg.att_heads,
                 linear_q=cfg.linear_q, gru_memory=cfg.gru_memory,
+                emb_dropout=self.emb_dropout, droppath=self.droppath,
+                droppath_scaling=self.droppath_scaling,
                 intermediate_norm=cfg.decoder_intermediate_lstt,
                 name='lstt')
 
@@ -186,5 +197,12 @@ class VOSModel(nn.Module):
         return logits
 
 
-def build_vos_model(cfg: ModelConfig) -> VOSModel:
-    return VOSModel(cfg)
+def build_vos_model(cfg: ModelConfig, exp=None) -> VOSModel:
+    """exp (ExpConfig) supplies the train-time droppath/dropout rates
+    (train_lstt_droppath, train_lstt_droppath_scaling,
+    train_lstt_emb_dropout); without it the reference defaults apply."""
+    if exp is None:
+        return VOSModel(cfg)
+    return VOSModel(cfg, droppath=exp.train_lstt_droppath,
+                    droppath_scaling=exp.train_lstt_droppath_scaling,
+                    emb_dropout=exp.train_lstt_emb_dropout)

@@ -126,7 +126,7 @@ def main():
         with open(os.path.join(result_dir, 'config.json'), 'w') as f:
             json.dump(config_to_dict(exp), f, indent=2)
 
-    model = build_vos_model(exp.model)
+    model = build_vos_model(exp.model, exp)
     trainer = Trainer(model, exp)
     n_dev = trainer.mesh.devices.size
     per_host_batch = exp.train_batch_size

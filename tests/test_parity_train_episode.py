@@ -36,13 +36,26 @@ def _patch_assign_identity(engine):
     engine.assign_identity = patched
 
 
-def test_train_episode_loss_parity():
+@pytest.mark.parametrize('reverse_infer', [False, True])
+def test_train_episode_loss_parity(reverse_infer):
     exp = get_config('pre_vost', model='aott')
-    exp = replace(exp, data_seq_len=T, train_total_steps=1000)
+    # droppath off on both sides: parity must not depend on which paths a
+    # particular PRNG seed happens to keep
+    exp = replace(exp, data_seq_len=T, train_total_steps=1000,
+                  train_lstt_droppath=0.0)
+    if reverse_infer:
+        # REVERSE_INFER: backward-consistency loss re-running the LSTT on
+        # the reference frame against the current memories
+        # (reference aot_engine.py:371-396). gap=1 so the reverse pass
+        # actually fires (three long writes in a T=5 episode; the default
+        # gap of 4 never writes within the episode)
+        exp = replace(exp, train_long_term_mem_gap=1,
+                      model=replace(exp.model, reverse_infer=True))
     cfg = exp.model
-    jmodel = build_vos_model(cfg)
+    jmodel = build_vos_model(cfg, exp)
 
     tcfg = make_torch_cfg(cfg, exp)
+    tcfg.TRAIN_LSTT_DROPPATH = 0.0
     from networks.models.aot import AOT
     from networks.engines.aot_engine import AOTEngine
     tmodel = AOT(tcfg, encoder=cfg.encoder)
@@ -71,7 +84,13 @@ def test_train_episode_loss_parity():
     teng = AOTEngine(tmodel, gpu_id=0,
                      long_term_mem_gap=exp.train_long_term_mem_gap,
                      short_term_mem_skip=1)
-    teng.eval()
+    if reverse_infer:
+        # the reference gates the reverse loss on self.training
+        # (aot_engine.py:391-395); all dropout rates are zeroed above so
+        # train mode is still deterministic
+        teng.train()
+    else:
+        teng.eval()
     teng.restart_engine(batch_size=1, enable_id_shuffle=False)
     _patch_assign_identity(teng)
     t_frames = torch.from_numpy(
@@ -84,7 +103,10 @@ def test_train_episode_loss_parity():
 
     np.testing.assert_allclose(float(loss), float(t_loss), rtol=2e-3,
                                atol=2e-3)
-    # per-frame prediction losses too (ours: [T-1] means over batch)
-    ours = np.asarray(aux['frame_losses'])
-    theirs = np.array([float(l) for l in t_all_loss[1:]])
-    np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-3)
+    if not reverse_infer:
+        # per-frame prediction losses too (ours: [T-1] means over batch);
+        # with reverse_infer the reference interleaves the reverse entries
+        # into all_frame_loss, so only the total is position-comparable
+        ours = np.asarray(aux['frame_losses'])
+        theirs = np.array([float(l) for l in t_all_loss[1:]])
+        np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-3)
