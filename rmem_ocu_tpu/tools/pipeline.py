@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument('--batch_size', type=int, default=None)
     p.add_argument('--total_steps', type=int, default=None)
     p.add_argument('--pretrained_path', type=str, default=None)
+    p.add_argument('--crop_size', type=int, default=None)
+    p.add_argument('--save_step', type=int, default=None)
+    p.add_argument('--max_size', type=float, default=None)
     p.add_argument('--flip', action='store_true')
     p.add_argument('--ms', nargs='+', type=float, default=[1.0])
     p.add_argument('--skip_train', action='store_true')
@@ -66,8 +69,14 @@ def main():
             argv += ['--total_steps', str(args.total_steps)]
         if args.pretrained_path:
             argv += ['--pretrained_path', args.pretrained_path]
+        if args.crop_size:
+            argv += ['--crop_size', str(args.crop_size)]
+        if args.save_step:
+            argv += ['--save_step', str(args.save_step)]
         if args.dataset == 'vost':
             argv += ['--datasets', 'vost']
+        elif args.dataset == 'test':
+            argv += ['--datasets', 'test']
         _run(train_tool.main, argv)
 
     if not args.skip_eval:
@@ -80,6 +89,8 @@ def main():
             argv += ['--data_root', args.data_root]
         if args.flip:
             argv += ['--flip']
+        if args.max_size:
+            argv += ['--max_size', str(args.max_size)]
         _run(eval_tool.main, argv)
 
     # score (reference train_vost.sh:77-79 -> evaluation_method.py)

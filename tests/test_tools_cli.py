@@ -52,3 +52,44 @@ def test_demo_cli_end_to_end(tmp_path, monkeypatch):
     overlays = sorted(os.listdir(out / 'overlay' / 'clip'))
     assert len(overlays) == 3
     assert (out / 'clip.mp4').exists()
+
+
+def test_video_render_cli(tmp_path, monkeypatch):
+    """tools/video.py: compose saved masks over frames into an mp4."""
+    frames = tmp_path / 'imgs' / 'seq0'
+    _write_frames(str(frames))
+    masks = tmp_path / 'res' / 'seq0'
+    import os
+    os.makedirs(masks, exist_ok=True)
+    for i in range(3):
+        _write_mask(str(masks / f'{i:05d}.png'))
+
+    from rmem_ocu_tpu.tools import video
+    out = tmp_path / 'vis'
+    monkeypatch.setattr(sys, 'argv', [
+        'video', '--image_root', str(tmp_path / 'imgs'),
+        '--results_path', str(tmp_path / 'res'), '--output', str(out)])
+    video.main()
+    assert (out / 'seq0.mp4').exists()
+    assert (out / 'seq0.mp4').stat().st_size > 0
+
+
+def test_pipeline_cli_end_to_end(tmp_path, monkeypatch):
+    """Layer-8: tools/pipeline.py chains train -> eval on the synthetic
+    'test' dataset (reference train_vost.sh:18-79; the scorer leg needs a
+    GT dataset and is covered by test_eval_pipeline's scorer roundtrip)."""
+    monkeypatch.chdir(tmp_path)
+    from rmem_ocu_tpu.tools import pipeline
+    monkeypatch.setattr(sys, 'argv', [
+        'pipeline', '--exp_name', 'smoke', '--stage', 'pre_vost',
+        '--model', 'aott', '--dataset', 'test',
+        '--batch_size', '8', '--total_steps', '2', '--save_step', '2',
+        '--crop_size', '65', '--max_size', '65'])
+    pipeline.main()
+
+    res = tmp_path / 'results' / 'smoke_aott' / 'pre_vost'
+    assert (res / 'ckpt').is_dir() and os.listdir(res / 'ckpt')
+    ev = res / 'eval' / 'test'
+    seqs = [d for d in os.listdir(ev) if (ev / d).is_dir()]
+    assert seqs, 'eval produced no sequences'
+    assert any(f.endswith('.png') for f in os.listdir(ev / seqs[0]))
