@@ -315,9 +315,14 @@ class Evaluator:
 
     @staticmethod
     def _label_at(label: np.ndarray, size, nearest: bool = True):
-        label = np.ascontiguousarray(label)
+        """torch-faithful nearest resize (src = floor(dst * in / out), the
+        reference's F.interpolate(mode='nearest') on labels,
+        evaluator.py:498-503); cv2.INTER_NEAREST rounds differently and
+        shifts label boundaries by a pixel."""
+        label = np.ascontiguousarray(label).astype(np.uint8)
         if label.shape[:2] == tuple(size):
-            return label.astype(np.uint8)
-        import cv2
-        return cv2.resize(label.astype(np.uint8), (size[1], size[0]),
-                          interpolation=cv2.INTER_NEAREST)
+            return label
+        h, w = label.shape[:2]
+        rows = np.minimum(np.arange(int(size[0])) * h // int(size[0]), h - 1)
+        cols = np.minimum(np.arange(int(size[1])) * w // int(size[1]), w - 1)
+        return label[rows][:, cols]
