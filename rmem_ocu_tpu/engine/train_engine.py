@@ -298,8 +298,14 @@ class TrainEngine:
             rev_loss = jnp.zeros_like(loss)
             first_short = carry.first_short
             if cfg.reverse_infer and cfg.vos == 'aot':
+                # captured DETACHED, like the reference's
+                # first_short_memories = [.detach().clone() ...]
+                # (aot_engine.py:373-375, the "detach_short" in the model
+                # name): the reverse loss must not backpropagate into the
+                # frame-1 short-memory producers
                 first_short = jax.tree.map(
-                    lambda a, b_: jnp.where(t_idx == 1, b_, a),
+                    lambda a, b_: jnp.where(
+                        t_idx == 1, jax.lax.stop_gradient(b_), a),
                     carry.first_short, new_short)
 
                 def reverse_loss(_):

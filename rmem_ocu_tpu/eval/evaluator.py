@@ -314,15 +314,19 @@ class Evaluator:
         return total_time, timed_frames, frame_times
 
     @staticmethod
-    def _label_at(label: np.ndarray, size, nearest: bool = True):
-        """torch-faithful nearest resize (src = floor(dst * in / out), the
-        reference's F.interpolate(mode='nearest') on labels,
-        evaluator.py:498-503); cv2.INTER_NEAREST rounds differently and
-        shifts label boundaries by a pixel."""
+    def _label_at(label: np.ndarray, size):
+        """Bit-faithful torch F.interpolate(mode='nearest') on labels
+        (reference evaluator.py:498-503): src = floor(dst * float32(in/out))
+        — torch computes the scale in float32, so exact integer floor
+        (dst * in // out) diverges by one row/col at some size ratios
+        (e.g. 500 -> 480); cv2.INTER_NEAREST rounds differently still."""
         label = np.ascontiguousarray(label).astype(np.uint8)
         if label.shape[:2] == tuple(size):
             return label
         h, w = label.shape[:2]
-        rows = np.minimum(np.arange(int(size[0])) * h // int(size[0]), h - 1)
-        cols = np.minimum(np.arange(int(size[1])) * w // int(size[1]), w - 1)
-        return label[rows][:, cols]
+        oh, ow = int(size[0]), int(size[1])
+        rows = np.floor(np.arange(oh, dtype=np.float32)
+                        * (np.float32(h) / np.float32(oh))).astype(np.int64)
+        cols = np.floor(np.arange(ow, dtype=np.float32)
+                        * (np.float32(w) / np.float32(ow))).astype(np.int64)
+        return label[np.minimum(rows, h - 1)][:, np.minimum(cols, w - 1)]

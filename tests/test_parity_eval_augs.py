@@ -65,7 +65,6 @@ def test_multi_aug_eval_parity(tmp_path):
     exp = get_config('pre_vost', model='aott')
     cfg = exp.model
     jmodel = build_vos_model(cfg)
-    tmodel_base = None
 
     from networks.models.aot import AOT
     from networks.engines.aot_engine import AOTInferEngine
