@@ -28,10 +28,15 @@ class ModelConfig:
     engine: str = 'aotengine'             # 'aotengine' | 'deaotengine'
     align_corners: bool = True
     encoder: str = 'mobilenetv2'
+    # documentation of the multi-scale channel dims (reference
+    # MODEL_ENCODER_DIM feeds torch constructors; flax infers input dims,
+    # so this is schema/metadata only)
     encoder_dim: Tuple[int, ...] = (24, 32, 96, 1280)  # 4x, 8x, 16x, 16x
     encoder_embedding_dim: int = 256
     decoder_intermediate_lstt: bool = True
     linear_q: bool = True
+    # MODEL_NORM_INP is dead in the reference: accepted by the LSTT
+    # constructor (transformer.py:152) and never read. Schema-only.
     norm_inp: bool = True
     freeze_bn: bool = True
     freeze_backbone: bool = False
@@ -116,6 +121,10 @@ class ExpConfig:
     data_davis_repeat: int = 5
     data_vost_repeat: int = 1
     data_vost_ignore_thresh: float = 0.2
+    # DATA_VOST_ALL_FRAMES / DATA_VOST_VALID_FRAMES are dead in the
+    # reference (defined in configs/default.py:30-31, consumed nowhere;
+    # VOST_Train computes valid_root and never uses it). Schema-only —
+    # the all-frames EVAL split is the separate youtubevos mechanism.
     data_vost_all_frames: bool = False
     data_vost_valid_frames: bool = False
     data_random_gap_davis: int = 12
@@ -161,6 +170,9 @@ class ExpConfig:
     train_clip_grad_norm: float = 5.0
     train_save_step: int = 500
     train_max_keep_ckpt: int = 8
+    # the reference sets TRAIN_RESUME internally from auto-resume
+    # discovery (trainer.py:198-204); here resumption is driven by
+    # train_auto_resume + the checkpoint directory contents
     train_resume: bool = False
     train_auto_resume: bool = True
     train_encoder_freeze_at: int = 2
@@ -183,6 +195,8 @@ class ExpConfig:
     test_multiscale: Tuple[float, ...] = (1.0,)
     test_min_size: Optional[int] = None
     test_max_size: float = 800 * 1.3
+    # reference DataLoader worker count; eval here is synchronous with
+    # prefetch handled by the engine pipeline, so schema-only
     test_workers: int = 4
     test_long_term_mem_gap: int = 9999
     test_short_term_mem_skip: int = 1

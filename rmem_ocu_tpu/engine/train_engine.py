@@ -70,7 +70,8 @@ class TrainEngine:
         if cfg.ignore_token:
             one_hot = jnp.concatenate([one_hot, ignore], axis=-1)
         id_emb = self.model.apply(params, one_hot,
-                                  method=VOSModel.get_id_emb)
+                                  method=VOSModel.get_id_emb,
+                                  deterministic=False, rngs=rngs)
         if freeze_id:
             id_emb = jax.lax.stop_gradient(id_emb)
         return id_emb

@@ -31,6 +31,9 @@ class GPMBlock(nn.Module):
     att_heads: int = 1
     dim_feedforward: int = 1024
     droppath: float = 0.1
+    lt_dropout: float = 0.0
+    st_dropout: float = 0.0
+    droppath_lst: bool = False
     layer_idx: int = 0
     expand_ratio: float = 2.0
     max_local_dis: int = 7
@@ -142,10 +145,26 @@ class GPMBlock(nn.Module):
         tgt2, tgt_id2 = jnp.split(cat_tgt2, 2, axis=-1)
         tgt3, tgt_id3 = jnp.split(cat_tgt3, 2, axis=-1)
 
-        # droppath_lst=False default: plain (zero-rate) dropout on the
-        # long/short outputs (reference :1215-1220)
-        tgt = tgt + tgt2 + tgt3
-        tgt_id = (tgt_id if tgt_id is not None else 0.0) + tgt_id2 + tgt_id3
+        # long+short residual (reference :1215-1220): droppath_lst routes
+        # it through stochastic depth, else Dropout(max(lt, st)) — every
+        # reference config leaves both at their 0/False defaults
+        base_id = tgt_id if tgt_id is not None else 0.0
+        lst, lst_id = tgt2 + tgt3, tgt_id2 + tgt_id3
+        if self.droppath_lst:
+            tgt = tgt + self.drop_path(lst, deterministic)
+            tgt_id = base_id + self.drop_path(lst_id, deterministic)
+        else:
+            rate = max(self.lt_dropout, self.st_dropout)
+            if rate > 0.0 and not deterministic:
+                keep = 1.0 - rate
+                rng = self.make_rng('dropout')
+                m = jax.random.bernoulli(rng, keep, lst.shape)
+                lst = lst * m / keep
+                m_id = jax.random.bernoulli(self.make_rng('dropout'), keep,
+                                            lst_id.shape)
+                lst_id = lst_id * m_id / keep
+            tgt = tgt + lst
+            tgt_id = base_id + lst_id
 
         # joint self-attention (reference :1222-1232)
         cat_q = jnp.concatenate([self.norm2(tgt), self.id_norm2(tgt_id)],
@@ -175,6 +194,9 @@ class GPMStack(nn.Module):
     dim_feedforward: int = 1024
     emb_dropout: float = 0.0
     droppath: float = 0.1
+    lt_dropout: float = 0.0
+    st_dropout: float = 0.0
+    droppath_lst: bool = False
     droppath_scaling: bool = False
     intermediate_norm: bool = True
     final_norm: bool = True
@@ -186,7 +208,9 @@ class GPMStack(nn.Module):
                     if self.droppath_scaling else self.droppath)
             blocks.append(GPMBlock(
                 self.d_model, self.self_heads, self.att_heads,
-                self.dim_feedforward, rate, layer_idx=idx,
+                self.dim_feedforward, rate,
+                lt_dropout=self.lt_dropout, st_dropout=self.st_dropout,
+                droppath_lst=self.droppath_lst, layer_idx=idx,
                 name=f'block_{idx}'))
         self.blocks = blocks
         num_norms = (self.num_layers - 1) if self.intermediate_norm else 0

@@ -9,6 +9,7 @@ memory state *outside* the module as an explicit pytree.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from rmem_ocu_tpu.config import ModelConfig
@@ -29,6 +30,10 @@ class VOSModel(nn.Module):
     droppath: float = 0.1
     droppath_scaling: bool = False
     emb_dropout: float = 0.0
+    id_dropout: float = 0.0         # on the id embedding (aot.py:84, :113)
+    lt_dropout: float = 0.0         # GPM long+short residual (:1070, 1219)
+    st_dropout: float = 0.0
+    droppath_lst: bool = False      # stochastic depth on that residual
 
     @property
     def is_deaot(self) -> bool:
@@ -47,6 +52,8 @@ class VOSModel(nn.Module):
                 num_layers=cfg.lstt_num, d_model=d,
                 self_heads=cfg.self_heads, att_heads=cfg.att_heads,
                 emb_dropout=self.emb_dropout, droppath=self.droppath,
+                lt_dropout=self.lt_dropout, st_dropout=self.st_dropout,
+                droppath_lst=self.droppath_lst,
                 droppath_scaling=self.droppath_scaling,
                 intermediate_norm=cfg.decoder_intermediate_lstt,
                 name='lstt')
@@ -99,12 +106,19 @@ class VOSModel(nn.Module):
         return xs
 
     # --- reference AOT.get_id_emb (aot.py:111-114, deaot.py:65-69) ---
-    def get_id_emb(self, one_hot):
-        """one_hot: [B, H, W, id_dim] -> id tokens [B, HW/256, d]."""
+    def get_id_emb(self, one_hot, deterministic: bool = True):
+        """one_hot: [B, H, W, id_dim] -> id tokens [B, HW/256, d].
+        Train-time id dropout per aot.py:84, :113."""
         id_emb = self.patch_wise_id_bank(one_hot)
         if self.is_deaot:
             id_emb = self.id_norm(id_emb)
-        return tokens_from_2d(id_emb)
+        id_emb = tokens_from_2d(id_emb)
+        if self.id_dropout > 0.0 and not deterministic:
+            keep = 1.0 - self.id_dropout
+            m = jax.random.bernoulli(self.make_rng('dropout'), keep,
+                                     id_emb.shape)
+            id_emb = id_emb * m / keep
+        return id_emb
 
     def get_pos_emb(self, size_2d):
         d = self.cfg.encoder_embedding_dim
@@ -205,4 +219,8 @@ def build_vos_model(cfg: ModelConfig, exp=None) -> VOSModel:
         return VOSModel(cfg)
     return VOSModel(cfg, droppath=exp.train_lstt_droppath,
                     droppath_scaling=exp.train_lstt_droppath_scaling,
-                    emb_dropout=exp.train_lstt_emb_dropout)
+                    emb_dropout=exp.train_lstt_emb_dropout,
+                    id_dropout=exp.train_lstt_id_dropout,
+                    lt_dropout=exp.train_lstt_lt_dropout,
+                    st_dropout=exp.train_lstt_st_dropout,
+                    droppath_lst=exp.train_lstt_droppath_lst)

@@ -19,17 +19,22 @@ def parse_args():
     p.add_argument('--exp_name', type=str, default='default')
     p.add_argument('--stage', type=str, default='pre_vost_2')
     p.add_argument('--model', type=str, default='r50_deaotl')
-    p.add_argument('--dataset', type=str, default='vost',
+    p.add_argument('--dataset', type=str, default=None,
                    choices=['davis2016', 'davis2017', 'youtubevos', 'vost',
-                            'long_videos', 'test'])
-    p.add_argument('--split', type=str, default='val')
+                            'long_videos', 'test'],
+                   help='defaults to exp.test_dataset')
+    p.add_argument('--split', type=str, default=None,
+                   help='defaults to exp.test_dataset_split')
     p.add_argument('--data_root', type=str, default=None)
     p.add_argument('--ckpt_path', type=str, default=None,
                    help='orbax ckpt dir or reference .pth')
     p.add_argument('--output', type=str, default=None)
-    p.add_argument('--max_size', type=float, default=480 * 1.3)
-    p.add_argument('--flip', action='store_true')
-    p.add_argument('--ms', nargs='+', type=float, default=[1.0])
+    p.add_argument('--max_size', type=float, default=None,
+                   help='defaults to exp.test_max_size')
+    p.add_argument('--flip', action='store_true',
+                   help='also exp.test_flip enables it')
+    p.add_argument('--ms', nargs='+', type=float, default=None,
+                   help='defaults to exp.test_multiscale')
     p.add_argument('--former_mem_len', type=int, default=None)
     p.add_argument('--latter_mem_len', type=int, default=None)
     p.add_argument('--gap', type=int, default=None)
@@ -81,18 +86,25 @@ def main():
     if args.gap is not None:
         exp = replace(exp, test_long_term_mem_gap=args.gap)
 
+    if args.dataset is None:
+        args.dataset = exp.test_dataset
+    if args.split is None:
+        args.split = exp.test_dataset_split
+
     cfg = exp.model
     model = build_vos_model(cfg)
     size = 65
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, size, size, 3)),
                         jnp.zeros((1, size, size, cfg.id_dim)))
-    if args.ckpt_path:
-        if args.ckpt_path.endswith('.pth'):
-            params = ckpt.load_torch_pretrained(args.ckpt_path, params, cfg)
+    ckpt_path = args.ckpt_path or exp.test_ckpt_path
+    if ckpt_path:
+        if ckpt_path.endswith('.pth'):
+            params = ckpt.load_torch_pretrained(ckpt_path, params, cfg)
         else:
             from rmem_ocu_tpu.train.trainer import TrainState
-            state, step = ckpt.restore_checkpoint(args.ckpt_path, None)
+            state, step = ckpt.restore_checkpoint(
+                ckpt_path, None, step=exp.test_ckpt_step)
             params = state['ema_params'] if isinstance(state, dict) else \
                 state.ema_params
             print(f'loaded EMA params from step {step}')
@@ -108,8 +120,16 @@ def main():
         from rmem_ocu_tpu.utils.run_utils import Tee
         Tee(os.path.join(output, 'print.log'))
 
-    seq_kw = dict(max_size=args.max_size, align_corners=cfg.align_corners,
-                  multi_scale=tuple(args.ms), flip=args.flip)
+    # CLI overrides win; otherwise the config's TEST_* fields apply
+    # (reference tools/eval.py:108-135 mutates cfg from args the same way)
+    seq_kw = dict(
+        max_size=(args.max_size if args.max_size is not None
+                  else exp.test_max_size),
+        min_size=exp.test_min_size,
+        align_corners=cfg.align_corners,
+        multi_scale=(tuple(args.ms) if args.ms is not None
+                     else tuple(exp.test_multiscale)),
+        flip=args.flip or exp.test_flip)
     root = args.data_root or exp.dir_data
     if args.dataset in ('davis2016', 'davis2017'):
         year = 2016 if args.dataset == 'davis2016' else 2017

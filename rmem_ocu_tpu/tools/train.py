@@ -151,6 +151,12 @@ def main():
     if restored is not None:
         state = restored
         print(f'resumed from step {step0}')
+    elif exp.train_start_step > 0:
+        # stage chaining offset (reference trainer.py:189: self.step =
+        # cfg.TRAIN_START_STEP): the LR schedule/curriculum start mid-way
+        state = state.replace(
+            step=jnp.asarray(exp.train_start_step, jnp.int32))
+        print(f'starting from step {exp.train_start_step}')
     elif exp.pretrain and exp.pretrain_model:
         params = ckpt.load_torch_pretrained(
             exp.pretrain_model, state.params, exp.model,

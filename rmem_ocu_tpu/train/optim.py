@@ -161,8 +161,30 @@ def make_masks(params, exp: ExpConfig,
     return wd_tree, enc_tree, frozen_tree
 
 
-def make_optimizer(exp: ExpConfig):
-    """Adam core; weight decay / per-group LR applied in apply_updates."""
+def make_optimizer(exp: ExpConfig, params=None):
+    """Adam core by default; weight decay / per-group LR applied in
+    apply_updates (decoupled, torch-AdamW style).
+
+    TRAIN_OPT='sgd' (reference trainer.py:155-159) is torch SGD semantics:
+    clip the raw grads, add L2 weight decay to the gradient *before* the
+    momentum accumulation (not decoupled), momentum TRAIN_SGD_MOMENTUM.
+    Needs `params` to derive the per-leaf wd coefficients."""
+    if exp.train_opt == 'sgd':
+        assert params is not None, 'sgd optimizer needs params for wd masks'
+        wd_tree, _, _ = make_masks(params, exp)
+
+        def l2_update(updates, state, params=None):
+            return (jax.tree_util.tree_map(
+                lambda g, p, wd: g + wd * p, updates, params, wd_tree),
+                state)
+
+        l2 = optax.GradientTransformation(
+            lambda _: optax.EmptyState(), l2_update)
+        return optax.chain(
+            optax.clip_by_global_norm(exp.train_clip_grad_norm),
+            l2,
+            optax.trace(decay=exp.train_sgd_momentum),
+        )
     return optax.chain(
         optax.clip_by_global_norm(exp.train_clip_grad_norm),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
@@ -171,15 +193,18 @@ def make_optimizer(exp: ExpConfig):
 
 def apply_updates(params, adam_updates, masks, now_lr, exp: ExpConfig):
     """p -= lr_group * (adam_update + wd * p), torch-AdamW style
-    (decoupled decay; reference trainer.py:168-178 via torch.optim.AdamW)."""
+    (decoupled decay; reference trainer.py:168-178 via torch.optim.AdamW).
+    Under TRAIN_OPT='sgd' the wd already entered the gradient before the
+    momentum (make_optimizer), so no decoupled term here."""
     wd_tree, enc_tree, frozen_tree = masks
     mn = exp.train_lr_min
     ratio = exp.train_lr_encoder_ratio
+    decoupled_wd = exp.train_opt != 'sgd'
 
     def upd(p, u, wd, is_enc, frozen):
         lr = jnp.where(is_enc, (now_lr - mn) * ratio + mn, now_lr)
         lr = jnp.where(frozen, 0.0, lr)
-        return p - lr * (u + wd * p)
+        return p - lr * (u + (wd * p if decoupled_wd else 0.0))
 
     return jax.tree_util.tree_map(upd, params, adam_updates, wd_tree,
                                   enc_tree, frozen_tree)

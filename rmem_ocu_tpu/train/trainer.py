@@ -40,7 +40,10 @@ class Trainer:
         self.model = model
         self.exp = exp
         self.engine = TrainEngine(model, exp)
-        self.tx = optim.make_optimizer(exp)
+        # built lazily in init_state: the sgd variant needs the params tree
+        # to derive its per-leaf L2 coefficients
+        self.tx = (optim.make_optimizer(exp)
+                   if exp.train_opt != 'sgd' else None)
         if mesh is None:
             # exp.mesh_shape/mesh_axes describe the ICI mesh; the default
             # (1,)/('data',) means "all devices on one data axis"
@@ -72,6 +75,8 @@ class Trainer:
         img = sample_frames[:1, 0]
         oh = jnp.zeros((1, h, w, self.model.cfg.id_dim))
         params = self.model.init(rng, img, oh)
+        if self.tx is None:
+            self.tx = optim.make_optimizer(self.exp, params)
         opt_state = self.tx.init(params)
         return TrainState(params=params, opt_state=opt_state,
                           ema_params=jax.tree.map(jnp.copy, params),

@@ -163,3 +163,20 @@ def test_multi_aug_eval_parity(tmp_path):
         agree = float(np.mean(ours == pred))
         assert agree >= 0.995, (f'frame {frame_idx}: only {agree:.4f} '
                                 'agreement with the reference protocol')
+
+
+def test_label_at_matches_torch_nearest():
+    """_label_at must be bit-faithful to F.interpolate(mode='nearest'),
+    including the float32-scale quirk (exact integer floor diverges at
+    ratios like 500->480)."""
+    rng = np.random.RandomState(0)
+    for (h, w), (oh, ow) in [((500, 810), (480, 624)),
+                             ((65, 65), (52, 52)),
+                             ((353, 625), (353, 625)),
+                             ((100, 100), (720, 540))]:
+        lbl = (rng.rand(h, w) * 5).astype(np.uint8)
+        got = Evaluator._label_at(lbl, (oh, ow))
+        want = F.interpolate(
+            torch.from_numpy(lbl.astype(np.float32))[None, None],
+            size=(oh, ow), mode='nearest')[0, 0].numpy().astype(np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f'{h}x{w}->{oh}x{ow}')
