@@ -251,8 +251,11 @@ class TrainEngine:
                 upd_oh, upd_ig = one_hot_mask(pred_mask, cfg.max_obj_num)
             else:
                 upd_oh, upd_ig = oh, ig
+            # per-step rngs: the episode-level `rngs` is a scan-invariant
+            # constant, which would repeat the same id-dropout mask every
+            # frame instead of sampling fresh like the reference nn.Dropout
             id_emb = self._id_emb(params, upd_oh, upd_ig, shuffle,
-                                  freeze_id=use_prev_pred, rngs=rngs)
+                                  freeze_id=use_prev_pred, rngs=step_rngs)
 
             per_layer = []
             for idx in range(L):

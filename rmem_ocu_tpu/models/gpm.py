@@ -53,14 +53,17 @@ class GPMBlock(nn.Module):
             self.id_norm1 = nn.LayerNorm(epsilon=EPS)
             self.linear_ID_V = nn.Dense(self.expand_d_model)
             self.linear_ID_U = nn.Dense(self.expand_d_model)
+        # lt/st dropout rates reach the attention probabilities too
+        # (reference transformer.py:1053, 1065 -> attention.py:61, 348)
         self.long_term_attn = GatedPropagation(
             d_qk=d, d_vu=d * 2, num_heads=self.att_heads, use_linear=False,
             d_att=self.d_att, expand_ratio=self.expand_ratio,
-            name='long_term_attn')
+            dropout=self.lt_dropout, name='long_term_attn')
         self.short_term_attn = LocalGatedPropagation(
             d_qk=d, d_vu=d * 2, num_heads=self.att_heads, use_linear=False,
             d_att=self.d_att, max_dis=self.max_local_dis,
-            expand_ratio=self.expand_ratio, name='short_term_attn')
+            expand_ratio=self.expand_ratio, dropout=self.st_dropout,
+            name='short_term_attn')
         self.norm2 = nn.LayerNorm(epsilon=EPS)
         self.id_norm2 = nn.LayerNorm(epsilon=EPS)
         self.self_attn = GatedPropagation(

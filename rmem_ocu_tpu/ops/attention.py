@@ -38,11 +38,15 @@ def merge_heads(x):
 
 
 def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
-                         key_bias=None, return_probs: bool = False):
+                         key_bias=None, return_probs: bool = False,
+                         dropout_rate: float = 0.0, dropout_rng=None):
     """q: [B, Lq, H*Dq], k: [B, Lk, H*Dq], v: [B, Lk, H*Dv].
 
     scale defaults to 1/sqrt(Dq). key_bias: broadcastable to [B, H, Lq, Lk],
-    added to logits before softmax. Returns (out [B, Lq, H*Dv], probs|None).
+    added to logits before softmax. dropout_rate > 0 with an rng applies
+    train-time dropout to the attention probabilities (reference
+    attention.py:61 / the SDPA dropout_p at :66-72).
+    Returns (out [B, Lq, H*Dv], probs|None).
     """
     qh = split_heads(q, num_heads)
     kh = split_heads(k, num_heads)
@@ -54,7 +58,12 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
     if key_bias is not None:
         logits = logits + key_bias
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(vh.dtype), vh,
+    attn = probs
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - dropout_rate
+        attn = probs * jax.random.bernoulli(dropout_rng, keep,
+                                            probs.shape) / keep
+    out = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(vh.dtype), vh,
                      preferred_element_type=jnp.float32).astype(v.dtype)
     out = merge_heads(out)
     return (out, probs) if return_probs else (out, None)
@@ -101,9 +110,13 @@ class MultiheadAttention(nn.Module):
             q = self.linear_Q(q)
             k = self.linear_K(k)
             v = self.linear_V(v)
+        drng = (self.make_rng('dropout')
+                if self.dropout > 0.0 and not deterministic else None)
         out, probs = scaled_dot_attention(q, k, v, self.num_heads,
                                           key_bias=key_bias,
-                                          return_probs=return_probs)
+                                          return_probs=return_probs,
+                                          dropout_rate=self.dropout,
+                                          dropout_rng=drng)
         return self.projection(out), probs
 
     def bank_read(self, q, k_bank, v_bank, length, want_mass: bool = True):
@@ -175,10 +188,14 @@ class GatedPropagation(nn.Module):
         if self.use_linear:
             q, v, u = self._project_inputs(q, v, u)
             k = q
+        drng = (self.make_rng('dropout')
+                if self.dropout > 0.0 and not deterministic else None)
         out, probs = scaled_dot_attention(q, k, v, self.num_heads,
                                           scale=self.att_dim ** -0.5,
                                           key_bias=key_bias,
-                                          return_probs=return_probs)
+                                          return_probs=return_probs,
+                                          dropout_rate=self.dropout,
+                                          dropout_rng=drng)
         out = self._gate_and_project(out, u, size_2d, deterministic)
         return out, probs
 
@@ -329,6 +346,12 @@ class LocalGatedPropagation(nn.Module):
         bias = _skew_bias_to_padded_grid(rel, h, w, ws)
         logits = logits + bias + jnp.where(mask, 0.0, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
+        if self.dropout > 0.0 and not deterministic:
+            # train-time dropout on the local attention probabilities
+            # (reference attention.py:348)
+            keep = 1.0 - self.dropout
+            probs = probs * jax.random.bernoulli(
+                self.make_rng('dropout'), keep, probs.shape) / keep
         out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(vh.dtype), vh,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         out = merge_heads(out) * u

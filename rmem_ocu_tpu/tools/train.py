@@ -151,19 +151,22 @@ def main():
     if restored is not None:
         state = restored
         print(f'resumed from step {step0}')
-    elif exp.train_start_step > 0:
-        # stage chaining offset (reference trainer.py:189: self.step =
-        # cfg.TRAIN_START_STEP): the LR schedule/curriculum start mid-way
-        state = state.replace(
-            step=jnp.asarray(exp.train_start_step, jnp.int32))
-        print(f'starting from step {exp.train_start_step}')
-    elif exp.pretrain and exp.pretrain_model:
-        params = ckpt.load_torch_pretrained(
-            exp.pretrain_model, state.params, exp.model,
-            full=exp.pretrain_full)
-        state = state.replace(params=params,
-                              ema_params=jax.tree.map(jnp.copy, params))
-        print(f'loaded pretrained {exp.pretrain_model}')
+    else:
+        # stage chaining composes BOTH: load the previous stage's weights
+        # AND offset the schedule (reference trainer.py:189 sets
+        # self.step = TRAIN_START_STEP unconditionally, separately from
+        # the PRETRAIN_MODEL load at :266-284)
+        if exp.pretrain and exp.pretrain_model:
+            params = ckpt.load_torch_pretrained(
+                exp.pretrain_model, state.params, exp.model,
+                full=exp.pretrain_full)
+            state = state.replace(params=params,
+                                  ema_params=jax.tree.map(jnp.copy, params))
+            print(f'loaded pretrained {exp.pretrain_model}')
+        if exp.train_start_step > 0:
+            state = state.replace(
+                step=jnp.asarray(exp.train_start_step, jnp.int32))
+            print(f'starting from step {exp.train_start_step}')
 
     rng = jax.random.PRNGKey(args.seed + 1)
     log_t0 = time.time()

@@ -165,25 +165,18 @@ def make_optimizer(exp: ExpConfig, params=None):
     """Adam core by default; weight decay / per-group LR applied in
     apply_updates (decoupled, torch-AdamW style).
 
-    TRAIN_OPT='sgd' (reference trainer.py:155-159) is torch SGD semantics:
+    TRAIN_OPT='sgd' (reference trainer.py:155-161) is torch SGD semantics:
     clip the raw grads, add L2 weight decay to the gradient *before* the
-    momentum accumulation (not decoupled), momentum TRAIN_SGD_MOMENTUM.
-    Needs `params` to derive the per-leaf wd coefficients."""
+    momentum accumulation (not decoupled), Nesterov momentum
+    TRAIN_SGD_MOMENTUM. Needs `params` for the per-leaf wd mask."""
     if exp.train_opt == 'sgd':
         assert params is not None, 'sgd optimizer needs params for wd masks'
         wd_tree, _, _ = make_masks(params, exp)
-
-        def l2_update(updates, state, params=None):
-            return (jax.tree_util.tree_map(
-                lambda g, p, wd: g + wd * p, updates, params, wd_tree),
-                state)
-
-        l2 = optax.GradientTransformation(
-            lambda _: optax.EmptyState(), l2_update)
+        wd_mask = jax.tree_util.tree_map(lambda w: w > 0.0, wd_tree)
         return optax.chain(
             optax.clip_by_global_norm(exp.train_clip_grad_norm),
-            l2,
-            optax.trace(decay=exp.train_sgd_momentum),
+            optax.add_decayed_weights(exp.train_weight_decay, mask=wd_mask),
+            optax.trace(decay=exp.train_sgd_momentum, nesterov=True),
         )
     return optax.chain(
         optax.clip_by_global_norm(exp.train_clip_grad_norm),

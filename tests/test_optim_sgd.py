@@ -41,7 +41,7 @@ def test_sgd_matches_torch_sgd():
         [{'params': [t_enc], 'lr': 0.0, 'weight_decay': wd},
          {'params': [t_head], 'lr': 0.0, 'weight_decay': wd},
          {'params': [t_bias], 'lr': 0.0, 'weight_decay': 0.0}],
-        lr=1e-3, momentum=exp.train_sgd_momentum)
+        lr=1e-3, momentum=exp.train_sgd_momentum, nesterov=True)
 
     for step in range(4):
         g_enc = rng.randn(4, 4).astype(np.float32)
