@@ -75,16 +75,21 @@ class ModelConfig:
     var_loss_weight: Optional[float] = None  # topdown reconstruction loss
 
     def __post_init__(self):
-        # NO_MEMORY_GAP couples two derived settings in the reference
-        # (configs/models/r50_deaotl.py:23,27): MODEL_ATT_HEADS becomes 2
-        # and REVERSE_LOSS is quartered. Applied on construction so
-        # dataclasses.replace(model, no_memory_gap=True) reproduces the
-        # reference recipe, not just the gap change.
-        if self.no_memory_gap:
-            if self.att_heads == 1:
-                object.__setattr__(self, 'att_heads', 2)
-            if self.reverse_loss == 0.4:
-                object.__setattr__(self, 'reverse_loss', 0.1)
+        # ORACLE implies mask conditioning (reference
+        # configs/models/r50_topdown_aotl.py:13: USE_MASK = ORACLE or
+        # PREV_PROBE); without it the per-frame GT would be silently
+        # dropped by the encoder.
+        if self.oracle and not self.use_mask:
+            object.__setattr__(self, 'use_mask', True)
+        # Only the TopDown encoder consumes a mask (reference
+        # networks/models/aot.py:23 forwards USE_MASK into build_encoder;
+        # all other encoder forwards take no mask argument and would
+        # crash). Fail loudly at config time instead.
+        if self.use_mask and 'topdown' not in self.encoder:
+            raise ValueError(
+                f'use_mask/oracle requires the mask-conditioned topdown '
+                f'encoder (got encoder={self.encoder!r}); use model '
+                f'r50_topdown_aotl')
 
     @property
     def id_dim(self) -> int:
@@ -272,8 +277,21 @@ MODEL_REGISTRY: Dict[str, ModelConfig] = {
 }
 
 
+def _couple_no_memory_gap(base: ModelConfig, overrides: dict) -> dict:
+    """NO_MEMORY_GAP couples two derived settings in the reference's model
+    config file (configs/models/r50_deaotl.py:23,27): MODEL_ATT_HEADS
+    becomes 2 and REVERSE_LOSS is quartered. Applied here in the
+    composition layer (where the reference's config file does it) so an
+    explicitly passed att_heads/reverse_loss is never clobbered."""
+    if overrides.get('no_memory_gap') and not base.no_memory_gap:
+        overrides.setdefault('att_heads', 2)
+        overrides.setdefault('reverse_loss', 0.1)
+    return overrides
+
+
 def get_model_config(name: str, **overrides) -> ModelConfig:
     cfg = MODEL_REGISTRY[name.lower()]
+    overrides = _couple_no_memory_gap(cfg, overrides)
     return replace(cfg, **overrides) if overrides else cfg
 
 
@@ -371,6 +389,8 @@ def get_config(stage: str, exp_name: str = 'default',
         exp_overrides = {k: v for k, v in overrides.items()
                          if k not in model_overrides}
         if model_overrides:
+            model_overrides = _couple_no_memory_gap(cfg.model,
+                                                    model_overrides)
             cfg = replace(cfg, model=replace(cfg.model, **model_overrides))
         if exp_overrides:
             cfg = replace(cfg, **exp_overrides)

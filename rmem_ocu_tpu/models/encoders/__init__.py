@@ -7,7 +7,8 @@ encoders/resnet.py:184-194).
 from __future__ import annotations
 
 
-def build_encoder(name: str, frozen_bn: bool = True, freeze_at: int = 0):
+def build_encoder(name: str, frozen_bn: bool = True, freeze_at: int = 0,
+                  use_mask: bool = False):
     from rmem_ocu_tpu.models.encoders.resnet import ResNetEncoder
     from rmem_ocu_tpu.models.encoders.mobilenetv2 import MobileNetV2Encoder
     from rmem_ocu_tpu.models.encoders.mobilenetv3 import MobileNetV3Encoder
@@ -25,10 +26,13 @@ def build_encoder(name: str, frozen_bn: bool = True, freeze_at: int = 0):
         return ResNetEncoder(layers=(3, 4, 6), frozen_bn=frozen_bn,
                              name='encoder')
     if 'resnet50_topdown' in name:
+        # use_mask=True switches the prompt-similarity modulation to GT-mask
+        # conditioning (reference encoders/__init__.py:10 forwards
+        # use_mask=cfg.USE_MASK into ResNet_TopDown).
         from rmem_ocu_tpu.models.encoders.resnet_topdown import (
             ResNetTopDownEncoder)
         return ResNetTopDownEncoder(layers=(3, 4, 6), frozen_bn=frozen_bn,
-                                    name='encoder')
+                                    use_mask=use_mask, name='encoder')
     if name == 'resnet101':
         return ResNetEncoder(layers=(3, 4, 23), frozen_bn=frozen_bn,
                              name='encoder')

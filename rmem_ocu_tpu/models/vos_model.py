@@ -42,7 +42,8 @@ class VOSModel(nn.Module):
     def setup(self):
         cfg = self.cfg
         d = cfg.encoder_embedding_dim
-        self.encoder = build_encoder(cfg.encoder, frozen_bn=cfg.freeze_bn)
+        self.encoder = build_encoder(cfg.encoder, frozen_bn=cfg.freeze_bn,
+                                     use_mask=cfg.use_mask)
         self.encoder_projector = nn.Conv(d, (1, 1), name='encoder_projector')
 
         # decoder in_dim (reference aot.py:50-52 / deaot.py:28-30) is

@@ -70,21 +70,59 @@ def test_tb_image_log_helper():
 
 
 def test_no_memory_gap_couples_derived_settings():
-    """NO_MEMORY_GAP sets att_heads=2 and quarters reverse_loss
-    (reference configs/models/r50_deaotl.py:23,27), idempotently."""
+    """NO_MEMORY_GAP sets att_heads=2 and quarters reverse_loss in the
+    config composition layer (reference configs/models/r50_deaotl.py:23,27);
+    explicitly requested values are never clobbered."""
     from dataclasses import replace
 
     base = get_config('pre_vost_2', model='r50_deaotl').model
     assert base.att_heads == 1 and base.reverse_loss == 0.4
-    m = replace(base, no_memory_gap=True)
+    m = get_config('pre_vost_2', model='r50_deaotl',
+                   no_memory_gap=True).model
+    assert m.no_memory_gap
     assert m.att_heads == 2
     assert m.reverse_loss == 0.1
+    # an explicit att_heads/reverse_loss wins over the coupling
+    m_exp = get_config('pre_vost_2', model='r50_deaotl',
+                       no_memory_gap=True, att_heads=1,
+                       reverse_loss=0.4).model
+    assert m_exp.att_heads == 1 and m_exp.reverse_loss == 0.4
     # roundtrip through the snapshot does not re-derive
     d = json.loads(json.dumps(config_to_dict(
         replace(get_config('pre_vost_2', model='r50_deaotl'),
                 model=m))))
     m2 = config_from_dict(d).model
     assert m2 == m
+
+
+def test_oracle_couples_use_mask_and_conditions_encoder():
+    """ORACLE implies USE_MASK (reference r50_topdown_aotl.py:13) and the
+    mask must actually reach the TopDown encoder: with use_mask the GT mask
+    changes the 16x features (round-2 advisor: build_encoder dropped
+    use_mask so --oracle silently ran non-oracle)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from dataclasses import replace
+    from rmem_ocu_tpu.config import get_model_config
+    from rmem_ocu_tpu.models import build_vos_model
+
+    m = get_model_config('r50_topdown_aotl', oracle=True)
+    assert m.use_mask
+    # non-topdown encoders cannot consume a mask -> loud config error
+    with pytest.raises(ValueError):
+        get_model_config('r50_deaotl', oracle=True)
+
+    model = build_vos_model(replace(m, lstt_num=1))
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (1, 65, 65, 3))
+    oh = jnp.zeros((1, 65, 65, m.id_dim))
+    params = model.init(rng, img, oh)
+    mask0 = jnp.zeros((1, 65, 65, 1))
+    mask1 = jnp.ones((1, 65, 65, 1))
+    enc = lambda mk: model.apply(params, img, mk, mutable=['losses'],
+                                 method='encode_image')[0][-1]
+    assert not jnp.allclose(enc(mask0), enc(mask1))
 
 
 def test_config_snapshot_roundtrip():
