@@ -138,6 +138,10 @@ class ExpConfig:
     data_random_gap_visor: int = 1
     data_dynamic_merge_prob: float = 0.2
     ignore_in_merge: bool = True
+    # prev-frame episode layout: ref sampled anywhere + randomly-placed
+    # prev + curr frames walking from prev (reference ENABLE_PREV_FRAME,
+    # train_datasets.py:264, 460-492; default-off in every recipe)
+    enable_prev_frame: bool = False
     data_visor_repeat: int = 1
     data_visor_ignore_thresh: float = 0.2
 
@@ -190,12 +194,22 @@ class ExpConfig:
     train_lstt_st_dropout: float = 0.0
     train_long_term_mem_gap: int = 9999
     train_short_term_mem_skip: int = 1
+    # rematerialization policy for the per-frame episode scan step
+    # (TPU-native knob, no reference equivalent): 'full' recomputes the
+    # whole step in backward (min HBM), 'dots' saves matmul outputs with
+    # no batch dims (jax.checkpoint_policies.dots_with_no_batch_dims_
+    # saveable — more HBM, fewer recomputed FLOPs), 'none' disables remat.
+    train_remat_policy: str = 'full'
 
     # --- eval ---
     test_dataset: str = 'youtubevos'
     test_dataset_split: str = 'val'
     test_ckpt_path: Optional[str] = None
     test_ckpt_step: Optional[int] = None
+    test_ema: bool = True                 # reference cfg.TEST_EMA
+    # multi-group logit merge: 'soft' (bg = prod of bg probs,
+    # aot_engine.py:650-673) or 'min' (bg = min logit, :630-648)
+    test_aggregation: str = 'soft'
     test_flip: bool = False
     test_multiscale: Tuple[float, ...] = (1.0,)
     test_min_size: Optional[int] = None

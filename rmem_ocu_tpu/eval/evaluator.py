@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -134,6 +135,11 @@ class Evaluator:
         # dynamic state (EngineState.mem_gap), so sequences at the same
         # resolution share compilations
         self.engine = InferEngine(model, exp)
+        # multi-group merge (reference soft vs min aggregation,
+        # aot_engine.py:630-673), selected by exp.test_aggregation
+        self.aggregate = (min_aggregate_group_logits
+                          if getattr(exp, 'test_aggregation', 'soft') ==
+                          'min' else soft_aggregate_group_logits)
 
     def evaluate(self, dataset: EvalDataset, verbose: bool = True
                  ) -> EvalStats:
@@ -189,7 +195,12 @@ class Evaluator:
         obj_idx = None
         total_time, timed_frames = 0.0, 0
         frame_times = []
-        pending_masks = []
+        # PNG writes overlap the next frame's compute (reference saves
+        # masks on background threads, utils/image.py:103-105); submission
+        # happens outside the timed region and the pool is drained before
+        # the sequence returns so failures surface here
+        io_pool = ThreadPoolExecutor(max_workers=4)
+        io_futures = []
 
         for frame_idx in range(len(seq)):
             samples = seq.frame(frame_idx)
@@ -243,7 +254,7 @@ class Evaluator:
                 # per-engine logits at output_size, aot_engine.py:704-712)
                 logits_up = interpolate_bilinear(logits, ori_size,
                                                  cfg.align_corners)
-                logits_ori = soft_aggregate_group_logits(
+                logits_ori = self.aggregate(
                     logits_up, base.obj_num, group_size)
                 if aug.flip:
                     logits_ori = logits_ori[:, :, ::-1]
@@ -293,19 +304,22 @@ class Evaluator:
             out_path = os.path.join(
                 self.result_root, seq_name,
                 os.path.splitext(base.name)[0] + '.png')
-            pending_masks.append((pred_ori, out_path, list(obj_idx)))
+            io_futures.append(io_pool.submit(
+                save_mask_png, pred_ori, out_path, squeeze_idx=list(obj_idx)))
             # all-frames split: also save the annotated (sparse) subset
             # (reference evaluator.py:548-560)
             sparse = getattr(seq, 'images_sparse', None)
             if sparse is not None and base.name in sparse:
                 sp = os.path.join(self.result_root + '_sparse', seq_name)
                 os.makedirs(sp, exist_ok=True)
-                pending_masks.append((pred_ori, os.path.join(
-                    sp, os.path.splitext(base.name)[0] + '.png'),
-                    list(obj_idx)))
+                io_futures.append(io_pool.submit(
+                    save_mask_png, pred_ori, os.path.join(
+                        sp, os.path.splitext(base.name)[0] + '.png'),
+                    squeeze_idx=list(obj_idx)))
 
-        for mask, path, oidx in pending_masks:
-            save_mask_png(mask, path, squeeze_idx=oidx)
+        for fut in io_futures:
+            fut.result()
+        io_pool.shutdown()
 
         if verbose and timed_frames:
             print(f'[rank {self.rank}] {seq_name}: '

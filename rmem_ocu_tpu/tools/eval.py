@@ -27,7 +27,20 @@ def parse_args():
                    help='defaults to exp.test_dataset_split')
     p.add_argument('--data_root', type=str, default=None)
     p.add_argument('--ckpt_path', type=str, default=None,
-                   help='orbax ckpt dir or reference .pth')
+                   help='orbax ckpt dir or reference .pth; defaults to the '
+                        'experiment result dir (latest step, EMA weights — '
+                        'reference evaluator.py:59-110)')
+    p.add_argument('--ckpt_step', type=int, default=None,
+                   help='explicit step to restore (reference '
+                        'TEST_CKPT_STEP); defaults to the latest')
+    p.add_argument('--no_ema', action='store_true',
+                   help='load raw train params instead of EMA weights '
+                        '(reference TEST_EMA=False)')
+    p.add_argument('--aggregation', type=str, default=None,
+                   choices=['soft', 'min'],
+                   help='multi-group logit merge (reference soft/min '
+                        'aggregation, aot_engine.py:630-673); defaults to '
+                        'exp.test_aggregation')
     p.add_argument('--output', type=str, default=None)
     p.add_argument('--max_size', type=float, default=None,
                    help='defaults to exp.test_max_size')
@@ -85,6 +98,10 @@ def main():
         exp = replace(exp, model=replace(exp.model, **model_overrides))
     if args.gap is not None:
         exp = replace(exp, test_long_term_mem_gap=args.gap)
+    if args.no_ema:
+        exp = replace(exp, test_ema=False)
+    if args.aggregation is not None:
+        exp = replace(exp, test_aggregation=args.aggregation)
 
     if args.dataset is None:
         args.dataset = exp.test_dataset
@@ -97,17 +114,42 @@ def main():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, size, size, 3)),
                         jnp.zeros((1, size, size, cfg.id_dim)))
+    # checkpoint selection (reference evaluator.py:59-110): explicit path
+    # wins; otherwise pick the experiment's ckpt/ema_ckpt dir and take the
+    # requested (or latest) step.
     ckpt_path = args.ckpt_path or exp.test_ckpt_path
+    if not ckpt_path:
+        sub = 'ema_ckpt' if exp.test_ema else 'ckpt'
+        candidate = os.path.join(exp.dir_result(), sub)
+        if ckpt.list_checkpoint_steps(candidate):
+            ckpt_path = candidate
     if ckpt_path:
         if ckpt_path.endswith('.pth'):
             params = ckpt.load_torch_pretrained(ckpt_path, params, cfg)
         else:
-            from rmem_ocu_tpu.train.trainer import TrainState
-            state, step = ckpt.restore_checkpoint(
-                ckpt_path, None, step=exp.test_ckpt_step)
-            params = state['ema_params'] if isinstance(state, dict) else \
-                state.ema_params
-            print(f'loaded EMA params from step {step}')
+            step = (args.ckpt_step if args.ckpt_step is not None
+                    else exp.test_ckpt_step)
+            state, step = ckpt.restore_checkpoint(ckpt_path, None, step=step)
+            if state is None:
+                raise SystemExit(f'no step_<N> checkpoints in {ckpt_path}')
+            # the dir may hold full TrainStates (tools/train.py ckpt/) or
+            # bare param trees (ema_ckpt/); duck-type both, loudly
+            if isinstance(state, dict) and 'ema_params' in state:
+                which = 'params' if not exp.test_ema else 'ema_params'
+                params = state[which]
+                print(f'loaded {which} from step {step} ({ckpt_path})')
+            elif isinstance(state, dict) and 'params' in state:
+                params = state          # bare {'params': ...} tree
+                print(f'loaded params from step {step} ({ckpt_path})')
+            else:
+                keys = (list(state.keys()) if isinstance(state, dict)
+                        else type(state).__name__)
+                raise SystemExit(
+                    f'{ckpt_path} step {step} is not a TrainState or '
+                    f'param tree (found {keys}); point --ckpt_path at a '
+                    f'train ckpt/ or ema_ckpt/ directory')
+    else:
+        print('warning: no checkpoint found; evaluating random init')
 
     if args.bf16:
         from rmem_ocu_tpu.utils.precision import cast_floating

@@ -32,7 +32,10 @@ def parse_args():
     p.add_argument('--save_step', type=int, default=None)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--crop_size', type=int, default=None)
-    p.add_argument('--fix_random', action='store_true')
+    p.add_argument('--fix_random', action='store_true',
+                   help='deterministic per-rank seeding of python/numpy/JAX '
+                        '(reference tools/train.py:20-37: seed = 1 << rank); '
+                        'overrides --seed')
     p.add_argument('--tblog', action='store_true',
                    help='TensorBoard scalar + pred/GT image logging '
                         '(reference trainer.py:687-804)')
@@ -75,6 +78,19 @@ def main():
     import jax
     if args.multihost:
         jax.distributed.initialize()
+    if args.fix_random:
+        # per-rank determinism harness (reference tools/train.py:20-37:
+        # random_seed = 1 << gpu, then python/numpy/torch seeded at
+        # consecutive offsets). The host-side data pipeline uses python
+        # random + numpy RandomState; JAX + the loader get seed+3.
+        import random
+        seed = 1 << jax.process_index()
+        print(f'[{jax.process_index()}] fix random seed {seed}')
+        os.environ['PYTHONHASHSEED'] = str(seed)
+        random.seed(seed + 1)
+        import numpy as _np
+        _np.random.seed(seed + 2)
+        args.seed = seed + 3
     import jax.numpy as jnp
     from rmem_ocu_tpu.config import get_config
     from rmem_ocu_tpu.data.train_datasets import (TrainDataLoader,
@@ -130,8 +146,12 @@ def main():
     trainer = Trainer(model, exp)
     n_dev = trainer.mesh.devices.size
     per_host_batch = exp.train_batch_size
-    assert per_host_batch % n_dev == 0 or per_host_batch >= n_dev, \
-        f'batch {per_host_batch} not divisible over {n_dev} devices'
+    # P('data') sharding requires exact divisibility; anything else dies
+    # later in XLA with an opaque error, so reject it here
+    if per_host_batch % n_dev != 0:
+        raise SystemExit(
+            f'--batch_size {per_host_batch} is not divisible by the '
+            f'{n_dev}-device data mesh; pick a multiple of {n_dev}')
 
     dataset = build_train_dataset(exp)
     loader = TrainDataLoader(dataset, per_host_batch, seed=args.seed,
@@ -144,6 +164,9 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(args.seed),
                                jnp.asarray(batch0['frames']),
                                jnp.asarray(batch0['masks']))
+    # lift onto the (possibly multi-host) mesh BEFORE restore so the Orbax
+    # target carries global shardings (restore is collective too)
+    state = trainer.globalize_state(state)
 
     # pretrained / resume (reference trainer.py:186-284)
     restored, step0 = (ckpt.restore_checkpoint(ckpt_dir, state)
@@ -167,6 +190,8 @@ def main():
             state = state.replace(
                 step=jnp.asarray(exp.train_start_step, jnp.int32))
             print(f'starting from step {exp.train_start_step}')
+        # the pretrain/start-step branches introduce host-local leaves
+        state = trainer.globalize_state(state)
 
     rng = jax.random.PRNGKey(args.seed + 1)
     log_t0 = time.time()
@@ -223,13 +248,16 @@ def main():
                     tb.add_scalar(f'train/iou_frame_{i}', v, step)
         if tb is not None and step % exp.train_img_log_step == 0:
             _tb_log_images(tb, step, batch_used, metrics)
-        if step % exp.train_save_step == 0 and jax.process_index() == 0:
+        if step % exp.train_save_step == 0:
+            # collective save: every process participates (see
+            # save_checkpoint docstring); print on rank 0 only
             ckpt.save_checkpoint(ckpt_dir, step, state,
                                  exp.train_max_keep_ckpt)
             # EMA weights in a parallel dir (reference trainer.py:659-676)
             ckpt.save_checkpoint(ema_dir, step, state.ema_params,
                                  exp.train_max_keep_ckpt)
-            print(f'saved step {step}')
+            if jax.process_index() == 0:
+                print(f'saved step {step}')
 
 
 if __name__ == '__main__':
