@@ -70,6 +70,35 @@ class Trainer:
         return self._host_step or 0
 
     # -------------------------------------------------------------- #
+    def globalize_state(self, state: TrainState) -> TrainState:
+        """Lift host-local state arrays onto the (possibly multi-host)
+        mesh as fully-replicated global arrays.
+
+        Single-host this is a no-op-shaped device_put; multi-host it is
+        required: jit over a process-spanning mesh only accepts global
+        jax.Arrays, so the host-local trees produced by init_state /
+        checkpoint restore must be converted once after construction
+        (replaces the reference's DDP module broadcast,
+        trainer.py:107-113)."""
+        repl = NamedSharding(self.mesh, P())
+        if jax.process_count() == 1:
+            return jax.device_put(state, repl)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x)), state)
+
+    def _globalize_batch(self, batch: dict) -> dict:
+        """Per-host batch shard [B_host, ...] -> global array
+        [B_host * world, ...] laid out so host r's rows land on its own
+        local devices (the DistributedSampler contract,
+        reference trainer.py:314-323)."""
+        data = NamedSharding(self.mesh, P('data'))
+        if jax.process_count() == 1:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        return {k: jax.make_array_from_process_local_data(
+                    data, np.asarray(v)) for k, v in batch.items()}
+
+    # -------------------------------------------------------------- #
     def init_state(self, rng, sample_frames, sample_masks) -> TrainState:
         b, t, h, w, _ = sample_frames.shape
         img = sample_frames[:1, 0]
@@ -169,6 +198,12 @@ class Trainer:
                               data_sharding, repl),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,))
+        batch = self._globalize_batch(batch)
+        if jax.process_count() > 1:
+            # the PRNG key must also be a global (replicated) array; all
+            # hosts derive the same key chain from the same seed
+            rng = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P()), np.asarray(rng))
         out = self._train_step_cache[key](
             state, batch['frames'], batch['masks'], batch['obj_nums'], rng)
         self._host_step += 1

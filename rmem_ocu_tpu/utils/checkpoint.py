@@ -18,17 +18,27 @@ def _ckpt_dir(root: str) -> str:
 
 
 def save_checkpoint(root: str, step: int, state, max_keep: int = 8):
-    """Save TrainState at `root/step_<N>`; prune to max_keep newest."""
+    """Save TrainState at `root/step_<N>`; prune to max_keep newest.
+
+    COLLECTIVE under multi-host: every process must call this (Orbax
+    coordinates across `jax.distributed`; a rank-0-only call deadlocks or
+    drops the other hosts' shards). The reference's rank-0-only
+    save_network (trainer.py:639-679) relies on DDP keeping full replicas
+    per rank — the mesh-sharded equivalent is the all-process save."""
+    import jax
     import orbax.checkpoint as ocp
     path = os.path.join(_ckpt_dir(root), f'step_{step}')
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state)
     ckptr.wait_until_finished()
-    steps = list_checkpoint_steps(root)
-    for s in steps[:-max_keep]:
-        import shutil
-        shutil.rmtree(os.path.join(_ckpt_dir(root), f'step_{s}'),
-                      ignore_errors=True)
+    # prune after all processes finished writing; fs mutation on rank 0
+    # only (save() above already synchronized the processes)
+    if jax.process_index() == 0:
+        steps = list_checkpoint_steps(root)
+        for s in steps[:-max_keep]:
+            import shutil
+            shutil.rmtree(os.path.join(_ckpt_dir(root), f'step_{s}'),
+                          ignore_errors=True)
 
 
 def list_checkpoint_steps(root: str):
