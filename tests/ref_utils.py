@@ -88,15 +88,17 @@ def make_torch_cfg(model_cfg, train_cfg=None):
     return ns
 
 
-def randomize_state_dict(module, seed=0):
+def randomize_state_dict(module, seed=0, scale=0.1):
     """Fill every param/buffer with reproducible random values (keeps
-    running_var positive)."""
+    running_var positive). A larger `scale` sharpens the attention —
+    needed when a test asserts eviction argmins, which tie at fp-noise
+    level under near-uniform attention."""
     import torch
     g = torch.Generator().manual_seed(seed)
     sd = module.state_dict()
     for k, v in sd.items():
         if v.dtype.is_floating_point:
-            new = torch.randn(v.shape, generator=g) * 0.1
+            new = torch.randn(v.shape, generator=g) * scale
             if 'running_var' in k:
                 new = new.abs() + 0.5
             sd[k] = new
