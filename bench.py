@@ -66,6 +66,53 @@ def _build(streams: int, model_name: str = 'r50_deaotl'):
     return engine, params, state, frames, (H, W)
 
 
+V5E_NOMINAL_BF16_TFLOPS = 394.0     # per-chip peak (public v5e spec)
+
+
+def _lowered_flops(jit_fn, *args):
+    """FLOPs of one executable from XLA cost analysis
+    (jax.stages: lower -> cost_analysis; ~free, no device compile)."""
+    try:
+        ca = jit_fn.lower(*args).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get('flops', 0.0)) or None
+    except Exception:
+        return None
+
+
+def _measure_peak_tflops(size=4096, short=6, long=38):
+    """Measured matmul ceiling on THIS chip (the axon tunnel throttles the
+    chip well below nominal): chained bf16 [size,size] matmuls under one
+    scan dispatch, per-iter cost = slope between a short and a long run —
+    the honest-timing recipe from tools/bench_breakdown.py."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((size, size), jnp.bfloat16)
+
+    def make(iters):
+        @jax.jit
+        def run(a):
+            def body(x, _):
+                return (x @ a) * (1.0 / size), None
+            x, _ = jax.lax.scan(body, a, None, length=iters)
+            return jnp.sum(x[:1, :1])
+        return run
+
+    run_s, run_l = make(short), make(long)
+    float(run_s(a))
+    float(run_l(a))
+    t0 = time.perf_counter()
+    float(run_s(a))
+    ts = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_l(a))
+    tl = time.perf_counter() - t0
+    per_iter = max((tl - ts) / (long - short), 1e-9)
+    return 2.0 * size ** 3 / per_iter / 1e12
+
+
 def _sync_overhead():
     import jax
     import jax.numpy as jnp
@@ -144,6 +191,8 @@ def _measure_p50_latency(engine, params, state, frames, out_size,
 
 def main(streams: int = 1, full: bool = True,
          model_name: str = 'r50_deaotl'):
+    import jax
+
     fps, state = None, None
     engine, params, state, frames, out_size = _build(streams, model_name)
     fps, state = _measure_fps(engine, params, state, frames, out_size)
@@ -156,6 +205,32 @@ def main(streams: int = 1, full: bool = True,
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 60.0, 3),
     }
+
+    # FLOPs / MFU accounting (VERDICT r2 #3): flops of one full frame step
+    # from XLA cost analysis, utilization vs nominal v5e bf16 peak AND vs
+    # this chip's measured matmul ceiling (the axon tunnel throttles well
+    # below nominal)
+    def frame_step(params, state, frame):
+        logits, st = engine._propagate(params, state, frame)
+        pred = engine.predict_mask(logits, out_size)
+        st = engine._update_memory(params, st, pred)
+        return pred[:, ::64, ::64], st
+
+    flops = _lowered_flops(jax.jit(frame_step), params, state, frames[0])
+    if flops:
+        b = frames[0].shape[0]
+        flops_frame = flops / b
+        achieved_tf = flops_frame * fps / 1e12
+        record['flops_per_frame'] = round(flops_frame / 1e9, 3)  # GFLOP
+        record['achieved_tflops'] = round(achieved_tf, 3)
+        record['mfu_vs_v5e_nominal'] = round(
+            achieved_tf / V5E_NOMINAL_BF16_TFLOPS, 5)
+        try:
+            peak = _measure_peak_tflops()
+            record['measured_peak_tflops'] = round(peak, 2)
+            record['mfu_vs_measured_peak'] = round(achieved_tf / peak, 4)
+        except Exception:
+            pass
 
     if (full and streams == 1 and model_name == 'r50_deaotl'
             and os.environ.get('RMEM_BENCH_FAST') != '1'):
@@ -176,6 +251,113 @@ def main(streams: int = 1, full: bool = True,
     print(json.dumps(record))
 
 
+def main_train(batch: int = 8, seq: int = 15, size: int = 465,
+               remat: str = 'full', model_name: str = 'r50_deaotl',
+               steps: int = 5):
+    """Recipe-scale training benchmark (VERDICT r2 #2): fwd+bwd at the
+    reference's pre_vost recipe shape — global batch 8, seq len 15, 465²
+    (reference train_vost.sh:3-27, configs/pre_vost.py:13-16) — reporting
+    train-frames/s/chip, step latency, peak HBM, and train-step MFU."""
+    import jax
+    import jax.numpy as jnp
+    from rmem_ocu_tpu.config import get_config
+    from rmem_ocu_tpu.models import build_vos_model
+    from rmem_ocu_tpu.train.trainer import Trainer
+
+    exp = get_config('pre_vost', model=model_name, datasets=('test',),
+                     train_batch_size=batch, data_seq_len=seq,
+                     data_randomcrop=(size, size),
+                     train_remat_policy=remat)
+    model = build_vos_model(exp.model, exp)
+    trainer = Trainer(model, exp)
+
+    rs = np.random.RandomState(0)
+    b = {'frames': jnp.asarray(rs.randn(batch, seq, size, size, 3),
+                               jnp.float32),
+         'masks': jnp.asarray((rs.rand(batch, seq, size, size) * 3)
+                              .astype(np.int32)),
+         'obj_nums': jnp.full((batch,), 3, jnp.int32)}
+    state = trainer.init_state(jax.random.PRNGKey(0), b['frames'],
+                               b['masks'])
+    state = trainer.globalize_state(state)
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, metrics = trainer.train_step(state, b, rng)
+    loss = float(metrics['loss'])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        # steps chain through the donated state; the final loss readback
+        # bounds completion of the whole queue (honest tunnel timing)
+        state, metrics = trainer.train_step(state, b, rng)
+    loss = float(metrics['loss'])
+    dt = time.perf_counter() - t0
+
+    step_s = dt / steps
+    fps = batch * seq / step_s
+    record = {
+        'metric': f'train_fps_per_chip_{model_name}_b{batch}_s{seq}_{size}'
+                  + ('' if remat == 'full' else f'_{remat}'),
+        'value': round(fps, 2),
+        'unit': 'train-frames/sec',
+        'vs_baseline': None,   # the reference publishes no train throughput
+        'step_ms': round(step_s * 1e3, 1),
+        'loss': round(loss, 4),
+        'remat': remat,
+    }
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        record['peak_hbm_mb'] = round(
+            ms.get('peak_bytes_in_use', 0) / 2.0 ** 20)
+    except Exception:
+        pass
+    jitted = next(iter(trainer._train_step_cache.values()), None)
+    if jitted is not None:
+        flops = _lowered_flops(jitted, state, b['frames'], b['masks'],
+                               b['obj_nums'], rng)
+        if flops:
+            achieved_tf = flops / step_s / 1e12
+            record['flops_per_step'] = round(flops / 1e12, 3)  # TFLOP
+            record['achieved_tflops'] = round(achieved_tf, 3)
+            record['mfu_vs_v5e_nominal'] = round(
+                achieved_tf / V5E_NOMINAL_BF16_TFLOPS, 5)
+    print(json.dumps(record))
+
+
+def main_pallas_ab(size: int = 353):
+    """Numeric + timing A/B of the fused Pallas memory read vs the XLA
+    path on whatever backend is present (VERDICT r2 #6): identical inputs,
+    asserts identical eviction ids and >99% mask agreement, reports both
+    throughputs."""
+    results = {}
+    for flag in ('0', '1'):
+        os.environ['RMEM_PALLAS'] = flag
+        engine, params, state, frames, out_size = _build(1)
+        fps, state = _measure_fps(engine, params, state, frames, out_size,
+                                  n_iters=24)
+        import jax.numpy as jnp
+        ids = np.asarray(state.bank.frame_ids[0])
+        logits, _ = engine.propagate(params, state, frames[0])
+        pred = np.asarray(engine.predict_mask(logits, out_size))
+        results[flag] = (fps, ids, pred)
+    fps_x, ids_x, pred_x = results['0']
+    fps_p, ids_p, pred_p = results['1']
+    agree = float((pred_x == pred_p).mean())
+    record = {
+        'metric': 'pallas_vs_xla_fps',
+        'value': round(fps_p, 2),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps_p / max(fps_x, 1e-9), 3),
+        'xla_fps': round(fps_x, 2),
+        'eviction_ids_match': bool((ids_x == ids_p).all()),
+        'mask_agreement': round(agree, 5),
+    }
+    print(json.dumps(record))
+    assert record['eviction_ids_match'], 'Pallas eviction ids diverged'
+    assert agree > 0.99, f'Pallas mask agreement {agree}'
+
+
 if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--streams', type=int, default=1,
@@ -188,8 +370,26 @@ if __name__ == '__main__':
                    help='write a jax.profiler trace to this directory '
                         '(replaces the reference CUDA-event timing, '
                         'evaluator.py:400-404)')
+    p.add_argument('--train', action='store_true',
+                   help='recipe-scale training benchmark (batch 8, seq 15, '
+                        '465², reference train_vost.sh recipe)')
+    p.add_argument('--train_batch', type=int, default=8)
+    p.add_argument('--train_seq', type=int, default=15)
+    p.add_argument('--train_size', type=int, default=465)
+    p.add_argument('--remat', type=str, default='full',
+                   choices=['full', 'dots', 'none'],
+                   help='episode remat policy A/B (train bench only)')
+    p.add_argument('--pallas_ab', action='store_true',
+                   help='fused Pallas memory read vs XLA path: numeric '
+                        'equivalence + throughput A/B')
     args = p.parse_args()
-    if args.profile:
+    if args.train:
+        main_train(batch=args.train_batch, seq=args.train_seq,
+                   size=args.train_size, remat=args.remat,
+                   model_name=args.model)
+    elif args.pallas_ab:
+        main_pallas_ab()
+    elif args.profile:
         import jax
         with jax.profiler.trace(args.profile):
             main(streams=args.streams, full=False, model_name=args.model)

@@ -51,6 +51,18 @@ class TrainEngine:
         self.skip = exp.train_short_term_mem_skip
 
     # -------------------------------------------------------------- #
+    def _remat(self, fn):
+        """Apply exp.train_remat_policy to the per-frame scan step (see
+        ExpConfig.train_remat_policy)."""
+        policy = getattr(self.exp, 'train_remat_policy', 'full')
+        if policy == 'none':
+            return fn
+        if policy == 'dots':
+            return jax.checkpoint(
+                fn, policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        return jax.checkpoint(fn)
+
     def _dims(self):
         cfg = self.cfg
         d = cfg.encoder_embedding_dim
@@ -360,7 +372,7 @@ class TrainEngine:
             jnp.moveaxis(masks[:, 1:], 1, 0),
         )
         carry, (frame_losses, rev_losses, rev_fired, frame_ious) = \
-            jax.lax.scan(jax.checkpoint(step_fn), carry, xs_scan)
+            jax.lax.scan(self._remat(step_fn), carry, xs_scan)
 
         # loss aggregation (reference aot_engine.py:108-113): aux weight
         # decays linearly to 0 over train_aux_loss_ratio of training.

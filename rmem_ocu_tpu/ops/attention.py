@@ -86,6 +86,11 @@ def pallas_memory_read_enabled() -> bool:
     if env is not None:
         return env not in ('0', 'false', 'False')
     import jax
+    # the axon plugin reports default_backend()=='tpu' but runs Pallas
+    # grid steps ~40x slower than XLA ops; detect it via the forced
+    # platform list ('axon,cpu') and keep the kernel off there
+    if 'axon' in str(jax.config.jax_platforms or ''):
+        return False
     return jax.default_backend() == 'tpu'
 
 

@@ -166,13 +166,20 @@ def _best_block_k(hwk: int, cap: int = 512) -> int:
 
 
 def memory_read_multihead(q, k_bank, v_bank, length, num_heads: int,
-                          scale: float, interpret: bool = False):
+                          scale: float, interpret: bool = None):
     """Convenience wrapper over batch+head folding.
 
     q: [B, HWq, H*D]; k_bank: [B, T, HWk, H*D]; v_bank: [B, T, HWk, H*Dv];
     length: [B]. Returns (out [B, HWq, H*Dv], mass [B, HWq, T] — mean over
     heads, matching frame_mass_from_probs).
+
+    interpret=None auto-selects: compiled Mosaic on a TPU backend,
+    interpret mode elsewhere (so RMEM_PALLAS=1 exercises the kernel's
+    numerics on any backend, e.g. the CPU regression suite).
     """
+    if interpret is None:
+        import jax as _jax
+        interpret = _jax.default_backend() != 'tpu'
     b, hwq, hd = q.shape
     _, t_cap, hwk, hdv = v_bank.shape
     h = num_heads
