@@ -85,7 +85,7 @@ class VOSTrainDataset:
                  rand_gap=3, seq_len=5, rand_reverse=True,
                  dynamic_merge=True, merge_prob=0.3, max_obj_n=10,
                  ignore_thresh=1.0, ignore_in_merge=False, repeat_time=1,
-                 rgb=True):
+                 rgb=True, enable_prev_frame=None):
         self.image_root = image_root
         self.label_root = label_root
         self.imglistdic = imglistdic
@@ -101,6 +101,11 @@ class VOSTrainDataset:
         self.ignore_in_merge = ignore_in_merge
         self.repeat_time = repeat_time
         self.rgb = rgb
+        # prev-frame episode layout (reference ENABLE_PREV_FRAME,
+        # train_datasets.py:264, 460-492): default-off in every recipe
+        self.enable_prev_frame = (cfg.enable_prev_frame
+                                  if enable_prev_frame is None
+                                  else enable_prev_frame)
 
     def __len__(self):
         return int(len(self.seqs) * self.repeat_time)
@@ -158,6 +163,55 @@ class VOSTrainDataset:
                  if lbl in lablist else None)
         return image, label
 
+    def _prev_index(self, rng, lablist, total_gap):
+        """Random prev-frame start (reference get_prev_index :384-390)."""
+        search = len(lablist) - total_gap
+        return rng.randint(search) if search > 1 else 0
+
+    def _sample_prev_frame_layout(self, rng, seqname, imagelist, lablist):
+        """ENABLE_PREV_FRAME episode: prev frame sampled anywhere, curr
+        frames walk from it, ref sampled independently and re-drawn (<=5
+        tries) to land outside the prev..curr window.
+
+        Reference intent: train_datasets.py:460-492. NOTE the fork's
+        branch is dead code that would crash — it reads total_gap /
+        curr_gaps whose assignment (line 458) is commented out — so this
+        follows the upstream AOT layout with seq_len-2 gaps, keeping the
+        episode at seq_len frames (ref + prev + seq_len-2 curr) like the
+        default branch (which re-labels curr[0] as prev, :547-549).
+        """
+        gaps, total_gap = self._gaps(rng, self.seq_len - 2, set(lablist),
+                                     imagelist, 0)
+        prev_index = self._prev_index(rng, lablist, total_gap)
+        prev_image, prev_label = self._image_label(seqname, imagelist,
+                                                   lablist, prev_index)
+        frames, labels = [prev_image], [prev_label]
+        objs = (set(np.unique(prev_label)) if prev_label is not None
+                else set())
+        now = prev_index
+        for gap in gaps:
+            now = self._reflect(len(imagelist), now + gap)
+            img, lab = self._image_label(seqname, imagelist, lablist, now)
+            if lab is not None:
+                objs |= set(np.unique(lab))
+            frames.append(img)
+            labels.append(lab)
+        end_index = now
+
+        # ref outside (prev_index, end_index] (reference :484-490)
+        ref_index = self._ref_index(rng, seqname, lablist)
+        for _ in range(5):
+            if not (prev_index < ref_index <= end_index):
+                break
+            ref_index = self._ref_index(rng, seqname, lablist)
+        ref_image, ref_label = self._image_label(
+            seqname, imagelist, lablist, ref_index, is_ref=True)
+        frames = [ref_image] + frames
+        labels = [ref_label] + [
+            l if l is not None else np.full(ref_label.shape, 255, np.uint8)
+            for l in labels]
+        return frames, labels, set(np.unique(ref_label)), objs
+
     # ---------- sequence sampling (reference :446-577) ----------
     def sample_sequence(self, idx, rng) -> Dict:
         seqname = self.seqs[idx % len(self.seqs)]
@@ -166,6 +220,18 @@ class VOSTrainDataset:
         if self.rand_reverse and rng.randint(2) == 1:
             imagelist = imagelist[::-1]
             lablist = lablist[::-1]
+
+        if self.enable_prev_frame:
+            for _ in range(5):
+                frames, labels, ref_objs, objs = \
+                    self._sample_prev_frame_layout(rng, seqname, imagelist,
+                                                   lablist)
+                if all(o in ref_objs or o == 0 for o in objs):
+                    break
+            obj_ids = sorted(ref_objs)
+            obj_num = obj_ids[-2] if 255 in obj_ids else obj_ids[-1]
+            return {'frames': frames, 'labels': labels,
+                    'obj_num': int(obj_num)}
 
         for _ in range(5):
             ref_index = self._ref_index(rng, seqname, lablist,

@@ -32,7 +32,15 @@ def db_eval_iou(annotation, segmentation, void_pixels=None):
 
 
 def _seg2bmap(seg):
-    """1-pixel-wide boundary map (reference metrics.py:120-170)."""
+    """1-pixel-wide boundary map (reference metrics.py:120-170).
+
+    Deliberate simplification: the reference additionally rescales the
+    boundary map when the requested (width, height) differ from the
+    input (metrics.py:155-167). Its only caller passes no size
+    (metrics.py:103-104 -> seg2bmap(seg) with width=seg.shape[1],
+    height=seg.shape[0]), making the rescale branch a structural no-op,
+    so it is not replicated here; at equal dims this map matches the
+    reference bit-for-bit (covered by the scorer parity tests)."""
     seg = np.asarray(seg, bool)
     e = np.zeros_like(seg)
     s = np.zeros_like(seg)
