@@ -67,6 +67,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from rmem_ocu_tpu.utils.run_utils import enable_compile_cache
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from rmem_ocu_tpu.config import get_config

@@ -75,6 +75,8 @@ def _tb_log_images(tb, step: int, batch, metrics):
 
 def main():
     args = parse_args()
+    from rmem_ocu_tpu.utils.run_utils import enable_compile_cache
+    enable_compile_cache()
     import jax
     if args.multihost:
         jax.distributed.initialize()

@@ -33,6 +33,20 @@ class Tee:
         self.stdout.flush()
 
 
+def enable_compile_cache(path: str = '~/.cache/jax'):
+    """Turn on JAX's persistent compilation cache. First compile of the
+    full model costs minutes (tens of minutes over the axon tunnel);
+    every identical program afterwards loads from disk. Safe to call
+    repeatedly; silently a no-op if the config knob is unavailable."""
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser(path))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+
 def make_log_dir(root: str, prefix: str = '') -> str:
     stamp = time.strftime('%Y%m%d-%H%M%S')
     path = os.path.join(root, f'{prefix}{stamp}')

@@ -12,6 +12,12 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# persistent compilation cache: the 1-core host recompiles every test
+# program otherwise; cached reruns cut the suite time several-fold
+from rmem_ocu_tpu.utils.run_utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import pytest  # noqa: E402
 
 
