@@ -77,11 +77,11 @@ def _build(streams: int, model_name: str = 'r50_deaotl'):
 V5E_NOMINAL_BF16_TFLOPS = 394.0     # per-chip peak (public v5e spec)
 
 
-def _lowered_flops(jit_fn, *args):
-    """FLOPs of one executable from XLA cost analysis. The axon backend
-    returns None from Lowered.cost_analysis(), so fall back to the
-    compiled executable's analysis (hits the persistent compile cache
-    when the same program already ran)."""
+def _cost_analysis(jit_fn, *args):
+    """XLA cost analysis dict of one executable. The axon backend returns
+    None from Lowered.cost_analysis(), so fall back to the compiled
+    executable's analysis (hits the persistent compile cache when the
+    same program already ran)."""
     try:
         lowered = jit_fn.lower(*args)
         ca = lowered.cost_analysis()
@@ -89,9 +89,46 @@ def _lowered_flops(jit_fn, *args):
             ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get('flops', 0.0)) or None
+        return dict(ca)
     except Exception:
-        return None
+        return {}
+
+
+def _lowered_flops(jit_fn, *args):
+    ca = _cost_analysis(jit_fn, *args)
+    return float(ca.get('flops', 0.0)) or None
+
+
+def _measure_hbm_bandwidth(mb=512, short=4, long=24):
+    """Measured HBM streaming ceiling on THIS chip: chained big-vector
+    copies (read+write one buffer per iter) under one scan dispatch,
+    per-iter cost = slope between a short and a long run."""
+    import jax
+    import jax.numpy as jnp
+
+    n = mb * 2 ** 20 // 4
+    a = jnp.ones((n,), jnp.float32)
+
+    def make(iters):
+        @jax.jit
+        def run(a):
+            def body(x, _):
+                return x * 1.0000001, None
+            x, _ = jax.lax.scan(body, a, None, length=iters)
+            return jnp.sum(x[:1])
+        return run
+
+    run_s, run_l = make(short), make(long)
+    float(run_s(a))
+    float(run_l(a))
+    t0 = time.perf_counter()
+    float(run_s(a))
+    ts = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_l(a))
+    tl = time.perf_counter() - t0
+    per_iter = max((tl - ts) / (long - short), 1e-9)
+    return 2.0 * n * 4 / per_iter / 1e9           # read + write, GB/s
 
 
 def _measure_peak_tflops(size=4096, short=6, long=38):
@@ -174,10 +211,15 @@ def _measure_fps(engine, params, state, frames, out_size, n_iters=60):
     state, preds = run_clip(params, state, clip)
     _ = float(jnp.sum(preds))                 # forces real completion
     dt = max(time.perf_counter() - t0 - sync, 1e-6)
-    # whole-pipeline FLOPs (propagate + predict + memory update), per frame
-    clip_flops = _lowered_flops(run_clip, *spec)
-    flops_per_frame = (clip_flops / (n_iters * B)) if clip_flops else None
-    return n_iters * B / dt, state, flops_per_frame
+    # whole-pipeline cost (propagate + predict + memory update), per frame
+    ca = _cost_analysis(run_clip, *spec)
+    nf = n_iters * B
+    per_frame = {
+        'flops': (float(ca['flops']) / nf) if ca.get('flops') else None,
+        'bytes': (float(ca['bytes accessed']) / nf)
+                 if ca.get('bytes accessed') else None,
+    }
+    return n_iters * B / dt, state, per_frame
 
 
 def _measure_p50_latency(engine, params, state, frames, out_size,
@@ -214,8 +256,9 @@ def main(streams: int = 1, full: bool = True,
          model_name: str = 'r50_deaotl'):
     _enable_compile_cache()
     engine, params, state, frames, out_size = _build(streams, model_name)
-    fps, state, flops_frame = _measure_fps(engine, params, state, frames,
-                                           out_size)
+    fps, state, per_frame = _measure_fps(engine, params, state, frames,
+                                         out_size)
+    flops_frame = per_frame['flops']
 
     record = {
         'metric': ('davis17_480p_multiobj_fps_per_chip'
@@ -243,6 +286,20 @@ def main(streams: int = 1, full: bool = True,
         except Exception:
             pass
 
+    # roofline: at 2.3 GFLOP/frame the workload is HBM-bound, not
+    # MXU-bound, so utilization vs the measured streaming ceiling is the
+    # honest "how close to speed-of-light" number
+    if per_frame['bytes']:
+        gbps = per_frame['bytes'] * fps / 1e9
+        record['hbm_gb_per_frame'] = round(per_frame['bytes'] / 1e9, 3)
+        record['achieved_hbm_gbps'] = round(gbps, 1)
+        try:
+            bw = _measure_hbm_bandwidth()
+            record['measured_hbm_peak_gbps'] = round(bw, 1)
+            record['hbm_utilization'] = round(gbps / bw, 3)
+        except Exception:
+            pass
+
     if (full and streams == 1 and model_name == 'r50_deaotl'
             and os.environ.get('RMEM_BENCH_FAST') != '1'):
         p50, state = _measure_p50_latency(engine, params, state, frames,
@@ -264,11 +321,12 @@ def main(streams: int = 1, full: bool = True,
 
 def main_train(batch: int = 8, seq: int = 15, size: int = 465,
                remat: str = 'full', model_name: str = 'r50_deaotl',
-               steps: int = 5):
+               steps: int = 5, amp: bool = True):
     """Recipe-scale training benchmark (VERDICT r2 #2): fwd+bwd at the
-    reference's pre_vost recipe shape — global batch 8, seq len 15, 465²
-    (reference train_vost.sh:3-27, configs/pre_vost.py:13-16) — reporting
-    train-frames/s/chip, step latency, peak HBM, and train-step MFU."""
+    reference's pre_vost recipe shape — global batch 8, seq len 15, 465²,
+    AMP (reference train_vost.sh:3-27 passes --amp; configs/pre_vost.py:
+    13-16) — reporting train-frames/s/chip, step latency, peak HBM, and
+    train-step MFU."""
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -279,7 +337,7 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
     exp = get_config('pre_vost', model=model_name, datasets=('test',),
                      train_batch_size=batch, data_seq_len=seq,
                      data_randomcrop=(size, size),
-                     train_remat_policy=remat)
+                     train_remat_policy=remat, train_amp=amp)
     model = build_vos_model(exp.model, exp)
     trainer = Trainer(model, exp)
 
@@ -310,18 +368,21 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
     fps = batch * seq / step_s
     record = {
         'metric': f'train_fps_per_chip_{model_name}_b{batch}_s{seq}_{size}'
-                  + ('' if remat == 'full' else f'_{remat}'),
+                  + ('' if remat == 'full' else f'_{remat}')
+                  + ('_amp' if amp else ''),
         'value': round(fps, 2),
         'unit': 'train-frames/sec',
         'vs_baseline': None,   # the reference publishes no train throughput
         'step_ms': round(step_s * 1e3, 1),
         'loss': round(loss, 4),
         'remat': remat,
+        'amp': amp,
     }
     try:
         ms = jax.local_devices()[0].memory_stats() or {}
-        record['peak_hbm_mb'] = round(
-            ms.get('peak_bytes_in_use', 0) / 2.0 ** 20)
+        peak = ms.get('peak_bytes_in_use', 0)
+        if peak:       # the axon backend reports no memory stats
+            record['peak_hbm_mb'] = round(peak / 2.0 ** 20)
     except Exception:
         pass
     jitted = next(iter(trainer._train_step_cache.values()), None)
@@ -392,6 +453,9 @@ if __name__ == '__main__':
     p.add_argument('--remat', type=str, default='full',
                    choices=['full', 'dots', 'none'],
                    help='episode remat policy A/B (train bench only)')
+    p.add_argument('--no_amp', action='store_true',
+                   help='disable bf16 mixed-precision in the train bench '
+                        '(the reference recipe trains with --amp)')
     p.add_argument('--pallas_ab', action='store_true',
                    help='fused Pallas memory read vs XLA path: numeric '
                         'equivalence + throughput A/B')
@@ -399,7 +463,7 @@ if __name__ == '__main__':
     if args.train:
         main_train(batch=args.train_batch, seq=args.train_seq,
                    size=args.train_size, remat=args.remat,
-                   model_name=args.model)
+                   model_name=args.model, amp=not args.no_amp)
     elif args.pallas_ab:
         main_pallas_ab()
     elif args.profile:

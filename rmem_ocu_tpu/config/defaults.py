@@ -200,6 +200,12 @@ class ExpConfig:
     # no batch dims (jax.checkpoint_policies.dots_with_no_batch_dims_
     # saveable — more HBM, fewer recomputed FLOPs), 'none' disables remat.
     train_remat_policy: str = 'full'
+    # mixed-precision training — the reference's --amp (autocast +
+    # GradScaler, trainer.py:170-176). TPU-native version: forward/backward
+    # compute in bfloat16 (params cast inside the loss fn, so gradients and
+    # the optimizer chain stay float32); losses reduce in float32; no loss
+    # scaling needed for bf16's fp32-sized exponent.
+    train_amp: bool = False
 
     # --- eval ---
     test_dataset: str = 'youtubevos'

@@ -125,6 +125,17 @@ class TrainEngine:
         rng_shuffle, rng_drop = jax.random.split(rng)
         rngs = {'droppath': rng_drop, 'dropout': rng_drop}
 
+        # --- mixed precision (reference --amp, trainer.py:170-176): cast
+        # params + activations to bf16 INSIDE the loss function, so
+        # value_and_grad still differentiates w.r.t. the float32 params (the
+        # cast's VJP returns float32 grads) and the optimizer state stays
+        # float32. Losses upcast to float32 internally (ops/losses.py).
+        amp = getattr(exp, 'train_amp', False)
+        if amp:
+            from rmem_ocu_tpu.utils.precision import cast_floating
+            params = cast_floating(params, jnp.bfloat16)
+            frames = frames.astype(jnp.bfloat16)
+
         # --- offline encode all frames in one batch (aot_engine.py:174-196)
         flat = frames.reshape(b * t_total, h, w, 3)
         var_loss = None
@@ -139,17 +150,26 @@ class TrainEngine:
             mut.append('losses')
         if 'batch_stats' in params:
             mut.append('batch_stats')
-        if mut:
-            xs, updated = self.model.apply(
-                params, flat, method=VOSModel.encode_image, rngs=rngs,
-                mutable=mut)
-            sows = jax.tree.leaves(updated.get('losses', {}))
-            if sows:
-                var_loss = jnp.mean(jnp.stack(sows))
-            new_batch_stats = updated.get('batch_stats')
-        else:
-            xs = self.model.apply(params, flat, method=VOSModel.encode_image,
-                                  rngs=rngs)
+
+        def encode(p, imgs):
+            if mut:
+                return self.model.apply(
+                    p, imgs, method=VOSModel.encode_image, rngs=rngs,
+                    mutable=mut)
+            return self.model.apply(p, imgs, method=VOSModel.encode_image,
+                                    rngs=rngs), {}
+
+        # the offline pass holds all B*T frames' conv activations for
+        # backward otherwise — at the reference recipe shape (batch 8 x
+        # seq 15 @ 465²) that alone exceeds one chip's HBM; remat keeps
+        # only the multi-scale outputs (which the scan consumes anyway)
+        if getattr(exp, 'train_remat_policy', 'full') != 'none':
+            encode = jax.checkpoint(encode)
+        xs, updated = encode(params, flat)
+        sows = jax.tree.leaves(updated.get('losses', {}))
+        if sows:
+            var_loss = jnp.mean(jnp.stack(sows))
+        new_batch_stats = updated.get('batch_stats')
         # -> per-frame lists [B, T, h16, w16, C]
         xs = [x.reshape(b, t_total, *x.shape[1:]) for x in xs]
         h16, w16 = xs[-1].shape[2], xs[-1].shape[3]
@@ -158,6 +178,11 @@ class TrainEngine:
 
         one_hot_all, ignore_all = one_hot_mask(
             masks.reshape(b * t_total, h, w), cfg.max_obj_num)
+        if amp:
+            # keep the id-embedding conv in bf16 (a float32 one-hot would
+            # silently promote the whole id path back to float32)
+            one_hot_all = one_hot_all.astype(jnp.bfloat16)
+            ignore_all = ignore_all.astype(jnp.bfloat16)
         one_hot_all = one_hot_all.reshape(b, t_total, h, w, -1)
         ignore_all = ignore_all.reshape(b, t_total, h, w, 1)
 

@@ -43,6 +43,11 @@ def parse_args():
                    help='initialize jax.distributed (one process per host; '
                         'replaces the reference mp.spawn + gloo DDP, '
                         'trainer.py:94-113)')
+    p.add_argument('--amp', action='store_true',
+                   help='mixed-precision training: bf16 forward/backward, '
+                        'fp32 params/optimizer (reference --amp autocast + '
+                        'GradScaler, trainer.py:170-176; no loss scaling '
+                        'needed for bf16)')
     return p.parse_args()
 
 
@@ -123,6 +128,8 @@ def main():
         overrides['data_randomcrop'] = (args.crop_size, args.crop_size)
     if args.tblog:
         overrides['train_tblog'] = True
+    if args.amp:
+        overrides['train_amp'] = True
     if overrides:
         exp = replace(exp, **overrides)
 

@@ -146,9 +146,12 @@ class Trainer:
             # updated values (their grads are zero and lr-0-masked, so the
             # optimizer left them untouched); the EMA below then tracks
             # buffers too, like the reference's get_param_buffer_for_ema
-            # (utils/ema.py:96-103)
+            # (utils/ema.py:96-103). Under train_amp the episode computed
+            # them in bf16 — store back at the float32 master dtype.
             new_params = dict(new_params)
-            new_params['batch_stats'] = aux.pop('batch_stats')
+            new_params['batch_stats'] = jax.tree.map(
+                lambda old, new: new.astype(old.dtype),
+                state.params['batch_stats'], aux.pop('batch_stats'))
         new_ema = optim.ema_update(state.ema_params, new_params,
                                    state.ema_updates + 1, self.ema_decay)
         metrics = {
