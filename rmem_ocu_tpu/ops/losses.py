@@ -13,6 +13,44 @@ import jax
 import jax.numpy as jnp
 
 
+def _topk_sum(x, k):
+    """Sum of the k largest entries per row of x, sort-free.
+
+    x: [B, P] non-negative float32; k: traced int32 scalar in [1, P].
+
+    A full `jnp.sort` over P ~ 216k pixels is one of the slowest ops on
+    TPU (multi-pass bitonic network), and its VJP is a permutation
+    scatter (per-element stores). Instead: the IEEE-754 bit pattern of a
+    non-negative float is order-preserving as uint32, so 32 fixed radix
+    bisection steps (each one vectorized compare + row-sum) find the
+    exact k-th largest value t; the top-k sum is then
+    sum(x[x > t]) + (k - |{x > t}|) * t, which equals the sorted top-k
+    sum as a multiset (ties at t contribute t each). The threshold
+    selection is locally constant, so the VJP routes gradient straight
+    to the selected pixels with no scatter: weight 1 above t, and the
+    (k - m)/n_ties fair split across pixels equal to t — identical to
+    autodiff-through-sort when values are distinct (n_ties = 1)."""
+    bsz = x.shape[0]
+    xs = jax.lax.stop_gradient(x)
+    u = jax.lax.bitcast_convert_type(xs, jnp.uint32)
+
+    def body(i, prefix):
+        cand = prefix | (jnp.uint32(1) << (31 - i))
+        cnt = jnp.sum(u >= cand[:, None], axis=1)
+        return jnp.where(cnt >= k, cand, prefix)
+
+    t_bits = jax.lax.fori_loop(0, 32, body,
+                               jnp.zeros((bsz,), jnp.uint32))
+    t = jax.lax.bitcast_convert_type(t_bits, jnp.float32)[:, None]
+    above = xs > t
+    at = xs == t
+    m = jnp.sum(above.astype(jnp.float32), axis=1)
+    n_ties = jnp.maximum(jnp.sum(at.astype(jnp.float32), axis=1), 1.0)
+    frac = (k.astype(jnp.float32) - m) / n_ties
+    return (jnp.sum(jnp.where(above, x, 0.0), axis=1)
+            + frac * jnp.sum(jnp.where(at, x, 0.0), axis=1))
+
+
 def topk_cross_entropy(logits, labels, step, total_hard_mining_steps,
                        top_k_percent: float = 0.15):
     """logits: [B, H, W, C]; labels: int [B, H, W] (255 = ignore);
@@ -29,7 +67,13 @@ def topk_cross_entropy(logits, labels, step, total_hard_mining_steps,
     valid = labels != 255
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # label pick as a dense one-hot contraction, NOT take_along_axis: a
+    # per-pixel gather's VJP is a [B, P, C] element scatter, one of the
+    # slowest op classes on TPU; the dense multiply fuses and its VJP is a
+    # dense multiply too (C is tiny).
+    one_hot = (safe_labels[..., None] == jnp.arange(c)[None, None]
+               ).astype(logp.dtype)
+    nll = -jnp.sum(logp * one_hot, axis=-1)
     # ignored pixels contribute 0, matching torch CE(ignore_index=255,
     # reduction='none'); they still occupy top-k slots.
     pixel_losses = jnp.where(valid, nll, 0.0)
@@ -38,9 +82,7 @@ def topk_cross_entropy(logits, labels, step, total_hard_mining_steps,
     k = (ratio * top_k_percent + (1.0 - ratio)) * num_pixels
     k = k.astype(jnp.int32)
 
-    sorted_losses = jnp.sort(pixel_losses, axis=-1)[:, ::-1]
-    in_topk = jnp.arange(num_pixels)[None, :] < k
-    return jnp.sum(sorted_losses * in_topk, axis=-1) / jnp.maximum(k, 1)
+    return _topk_sum(pixel_losses, k) / jnp.maximum(k, 1)
 
 
 def soft_jaccard_loss(logits, labels, obj_nums=None):

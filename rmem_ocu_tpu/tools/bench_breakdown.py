@@ -99,6 +99,15 @@ def main():
 
     timed_scan('update_memory', upd_body, state)
 
+    def pred_body(carry, _):
+        lg = carry
+        pred = engine.predict_mask(lg, (H, W))
+        s = jnp.sum(pred[:, ::64, ::64]).astype(jnp.float32)
+        return lg + (s * 1e-12).astype(lg.dtype), s
+
+    timed_scan('predict_mask (upsample+argmax)', pred_body,
+               state.pred_logits_4x)
+
     def frame_body(carry, _):
         st, im = carry
         logits, st = engine._propagate(params, st, im)
