@@ -321,7 +321,7 @@ def main(streams: int = 1, full: bool = True,
 
 def main_train(batch: int = 8, seq: int = 15, size: int = 465,
                remat: str = 'full', model_name: str = 'r50_deaotl',
-               steps: int = 5, amp: bool = True):
+               steps: int = 5, amp: bool = True, enc_chunk: int = 0):
     """Recipe-scale training benchmark (VERDICT r2 #2): fwd+bwd at the
     reference's pre_vost recipe shape — global batch 8, seq len 15, 465²,
     AMP (reference train_vost.sh:3-27 passes --amp; configs/pre_vost.py:
@@ -337,7 +337,8 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
     exp = get_config('pre_vost', model=model_name, datasets=('test',),
                      train_batch_size=batch, data_seq_len=seq,
                      data_randomcrop=(size, size),
-                     train_remat_policy=remat, train_amp=amp)
+                     train_remat_policy=remat, train_amp=amp,
+                     train_encoder_chunk=enc_chunk)
     model = build_vos_model(exp.model, exp)
     trainer = Trainer(model, exp)
 
@@ -377,6 +378,7 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
         'loss': round(loss, 4),
         'remat': remat,
         'amp': amp,
+        'enc_chunk': enc_chunk,
     }
     try:
         ms = jax.local_devices()[0].memory_stats() or {}
@@ -450,6 +452,9 @@ if __name__ == '__main__':
     p.add_argument('--train_batch', type=int, default=8)
     p.add_argument('--train_seq', type=int, default=15)
     p.add_argument('--train_size', type=int, default=465)
+    p.add_argument('--enc_chunk', type=int, default=0,
+                   help='offline-encoder chunk size (frames per lax.scan '
+                        'step; 0 = monolithic batch) — train bench only')
     p.add_argument('--remat', type=str, default='full',
                    choices=['full', 'dots', 'none'],
                    help='episode remat policy A/B (train bench only)')
@@ -463,7 +468,8 @@ if __name__ == '__main__':
     if args.train:
         main_train(batch=args.train_batch, seq=args.train_seq,
                    size=args.train_size, remat=args.remat,
-                   model_name=args.model, amp=not args.no_amp)
+                   model_name=args.model, amp=not args.no_amp,
+                   enc_chunk=args.enc_chunk)
     elif args.pallas_ab:
         main_pallas_ab()
     elif args.profile:

@@ -200,6 +200,14 @@ class ExpConfig:
     # no batch dims (jax.checkpoint_policies.dots_with_no_batch_dims_
     # saveable — more HBM, fewer recomputed FLOPs), 'none' disables remat.
     train_remat_policy: str = 'full'
+    # chunk the offline encoder pass through a lax.scan over groups of
+    # `train_encoder_chunk` frames (0 = one monolithic batch). The
+    # monolithic rematted encode recomputes ALL B*T frames' conv
+    # activations at once in backward — at the reference recipe shape
+    # (8x15 @ 465²) that alone pushes HBM to ~98% and forces XLA into a
+    # pathological spill schedule. Chunking bounds the recompute working
+    # set to one chunk; numerically identical for frozen-BN encoders.
+    train_encoder_chunk: int = 0
     # mixed-precision training — the reference's --amp (autocast +
     # GradScaler, trainer.py:170-176). TPU-native version: forward/backward
     # compute in bfloat16 (params cast inside the loss fn, so gradients and

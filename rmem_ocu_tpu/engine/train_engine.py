@@ -34,7 +34,10 @@ class EpisodeCarry:
     bank: membank.MemoryBank
     short: membank.ShortTermMemory
     last_mem_step: jnp.ndarray           # scalar int32
-    prev_pred_prob: jnp.ndarray          # [B, H, W, O+1] previous softmax
+    # argmax mask of the latest frame's logits, for trainer logging only
+    # (int32 [B, H, W]; a full-res softmax carry here would cost ~76 MB of
+    # saved scan residuals PER STEP at the recipe shape)
+    last_pred_mask: jnp.ndarray
     # REVERSE_INFER: the short-term memory captured right after frame 1
     # (reference aot_engine.py:371-375); None when the flag is off
     first_short: Optional[membank.ShortTermMemory] = None
@@ -88,14 +91,34 @@ class TrainEngine:
             id_emb = jax.lax.stop_gradient(id_emb)
         return id_emb
 
-    def _temporal_pe(self, params, length):
+    def _temporal_pe(self, params, length, cap=None):
         if not self.cfg.use_temporal_pe:
             return None
         cur, mem = self.model.apply(params, method=VOSModel.temporal_pe)
-        cap = self.cfg.mem_bank_capacity
+        cap = self.cfg.mem_bank_capacity if cap is None else cap
         mem_i = jax.vmap(lambda l: interpolated_memory_pe(mem, l, cap))(
             length)
         return cur[0], mem_i
+
+    def _episode_capacity(self, t_total: int) -> int:
+        """Tight static bank capacity for a T-frame episode.
+
+        The write schedule inside the scan is deterministic (t = gap, 2*gap,
+        ... <= T-1, reference aot_engine.py:344-369), so the live memory
+        never exceeds 1 + floor((T-1)/gap) frames. When that stays within
+        former+latter, eviction can never fire and the bank can be exactly
+        that size — at the recipe shape (T=15, gap=4) this is 4 slots
+        instead of 10, which cuts the per-scan-step saved carry (the
+        dominant HBM term in backward) and the masked dead-slot attention
+        keys by 2.5x. Falls back to the full ring (former+latter+1) when
+        the schedule can overflow (e.g. NO_MEMORY_GAP's gap=1)."""
+        cfg = self.cfg
+        live_total = 1 + max(t_total - 1, 0) // max(self.gap, 1)
+        if cfg.no_long_memory:
+            live_total = 1
+        if live_total <= cfg.former_mem_len + cfg.latter_mem_len:
+            return max(live_total, 1)
+        return cfg.mem_bank_capacity
 
     def _mask_unused(self, logits, obj_nums):
         c = logits.shape[-1]
@@ -151,13 +174,13 @@ class TrainEngine:
         if 'batch_stats' in params:
             mut.append('batch_stats')
 
-        def encode(p, imgs):
+        def encode(p, imgs, enc_rngs):
             if mut:
                 return self.model.apply(
-                    p, imgs, method=VOSModel.encode_image, rngs=rngs,
+                    p, imgs, method=VOSModel.encode_image, rngs=enc_rngs,
                     mutable=mut)
             return self.model.apply(p, imgs, method=VOSModel.encode_image,
-                                    rngs=rngs), {}
+                                    rngs=enc_rngs), {}
 
         # the offline pass holds all B*T frames' conv activations for
         # backward otherwise — at the reference recipe shape (batch 8 x
@@ -165,7 +188,27 @@ class TrainEngine:
         # only the multi-scale outputs (which the scan consumes anyway)
         if getattr(exp, 'train_remat_policy', 'full') != 'none':
             encode = jax.checkpoint(encode)
-        xs, updated = encode(params, flat)
+        n_flat = b * t_total
+        chunk = getattr(exp, 'train_encoder_chunk', 0)
+        if chunk and 0 < chunk < n_flat and n_flat % chunk == 0 and not mut:
+            # chunked offline encode: backward recomputes one chunk's conv
+            # activations at a time instead of all B*T at once (see
+            # ExpConfig.train_encoder_chunk). Frozen-BN encoders are pure
+            # per-image functions, so this is numerically equivalent to the
+            # monolithic batch; droppath rngs are folded per chunk.
+            def enc_body(_, inp):
+                ci, imgs = inp
+                ck = {k: jax.random.fold_in(v, ci) for k, v in rngs.items()}
+                ys, _ = encode(params, imgs, ck)
+                return None, ys
+            _, xs = jax.lax.scan(
+                enc_body, None,
+                (jnp.arange(n_flat // chunk, dtype=jnp.int32),
+                 flat.reshape(n_flat // chunk, chunk, h, w, 3)))
+            xs = [x.reshape(n_flat, *x.shape[2:]) for x in xs]
+            updated = {}
+        else:
+            xs, updated = encode(params, flat, rngs)
         sows = jax.tree.leaves(updated.get('losses', {}))
         if sows:
             var_loss = jnp.mean(jnp.stack(sows))
@@ -194,7 +237,7 @@ class TrainEngine:
                                     method=VOSModel.get_pos_emb)
         ck, cv, with_id = self._dims()
         L = cfg.lstt_num
-        cap = cfg.mem_bank_capacity
+        cap = self._episode_capacity(t_total)
 
         def lstt_step(p, emb16, long_mem, short_mem, id_emb, tpe,
                       step_rngs=None):
@@ -215,7 +258,8 @@ class TrainEngine:
         # --- reference frame (t = 0) ---
         id_emb0 = self._id_emb(params, one_hot_all[:, 0], ignore_all[:, 0],
                                shuffle, freeze_id=use_prev_pred, rngs=rngs)
-        tpe_ref = self._temporal_pe(params, jnp.ones((b,), jnp.int32))
+        tpe_ref = self._temporal_pe(params, jnp.ones((b,), jnp.int32),
+                                    cap=cap)
         if tpe_ref is not None:
             tpe_ref = (tpe_ref[0], tpe_ref[1][:, :1])
         inters0, mems0, _ = lstt_step(params, xs[-1][:, 0], None, None,
@@ -250,7 +294,7 @@ class TrainEngine:
         carry = EpisodeCarry(
             bank=bank, short=short,
             last_mem_step=jnp.zeros((), jnp.int32),
-            prev_pred_prob=jax.nn.softmax(logits0.astype(jnp.float32), -1),
+            last_pred_mask=jax.lax.stop_gradient(pred0),
             first_short=(short if cfg.reverse_infer and cfg.vos == 'aot'
                          else None))
 
@@ -260,7 +304,7 @@ class TrainEngine:
             # decorrelate stochastic-depth masks across frames
             step_key = jax.random.fold_in(rng_drop, t_idx)
             step_rngs = {'droppath': step_key, 'dropout': step_key}
-            tpe = self._temporal_pe(params, carry.bank.length)
+            tpe = self._temporal_pe(params, carry.bank.length, cap=cap)
             if cfg.vos == 'deaot':
                 long_mem = (carry.bank.k, carry.bank.v, carry.bank.id_v,
                             carry.bank.length)
@@ -354,7 +398,7 @@ class TrainEngine:
                     outer_v = new_bank.v[:, :, 1:]
                     outer_len = jnp.maximum(new_bank.length - 1, 1)
                     k0, v0, _ = first_short.read()
-                    tpe_r = self._temporal_pe(params, outer_len)
+                    tpe_r = self._temporal_pe(params, outer_len, cap=cap)
                     if tpe_r is not None:
                         tpe_r = (tpe_r[0], tpe_r[1][:, :outer_k.shape[2]])
                     inters_r, _, _ = lstt_step(
@@ -380,8 +424,7 @@ class TrainEngine:
                 bank=new_bank, short=new_short,
                 last_mem_step=jnp.where(do_long, t_idx,
                                         carry.last_mem_step),
-                prev_pred_prob=jax.nn.softmax(
-                    logits.astype(jnp.float32), -1),
+                last_pred_mask=jax.lax.stop_gradient(pred_mask),
                 first_short=first_short)
             rev_fired = (rev_gate.astype(jnp.float32)
                          if cfg.reverse_infer and cfg.vos == 'aot'
@@ -420,7 +463,7 @@ class TrainEngine:
             # (reference trainer.py:577-595 running_ious meters)
             'frame_ious': all_ious,
             'iou': jnp.mean(all_ious),
-            'final_pred_prob': carry.prev_pred_prob,
+            'final_pred_mask': carry.last_pred_mask,
         }
         if var_loss is not None:
             total = total + cfg.var_loss_weight * var_loss

@@ -169,8 +169,7 @@ class Trainer:
         # final-frame predicted mask for image logging (reference
         # trainer.py:712-761 logs pred/GT overlays); stays on device until
         # the host actually reads it at a log step
-        metrics['pred_mask'] = jnp.argmax(aux['final_pred_prob'],
-                                          axis=-1).astype(jnp.int32)
+        metrics['pred_mask'] = aux['final_pred_mask']
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                ema_params=new_ema, step=state.step + 1,
                                ema_updates=state.ema_updates + 1)

@@ -91,3 +91,72 @@ def test_data_parallel_step_8dev(setup):
     state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics['loss']))
     assert int(state.step) == 1
+
+
+def test_encoder_chunking_equivalence(setup):
+    """Chunked offline encode (train_encoder_chunk) must match the
+    monolithic batch: loss and gradients identical up to conv-tiling
+    noise (frozen-BN encoders are pure per-image functions)."""
+    from dataclasses import replace
+    from rmem_ocu_tpu.engine.train_engine import TrainEngine
+    exp, model = setup
+    batch = _batch(2, seed=7)
+    params = model.init(jax.random.PRNGKey(0), batch['frames'][:1, 0],
+                        jnp.zeros((1, SIZE, SIZE, exp.model.id_dim)))
+    rng = jax.random.PRNGKey(3)
+    step = jnp.zeros(())
+
+    def loss_fn(engine):
+        def f(p):
+            return engine.episode_loss(p, batch['frames'], batch['masks'],
+                                       batch['obj_nums'], step, rng,
+                                       enable_id_shuffle=False)[0]
+        return jax.jit(jax.value_and_grad(f))
+
+    l_mono, g_mono = loss_fn(TrainEngine(model, exp))(params)
+    # b*t = 2*4 = 8 flat frames -> 4 chunks of 2
+    eng_c = TrainEngine(model, replace(exp, train_encoder_chunk=2))
+    l_chunk, g_chunk = loss_fn(eng_c)(params)
+
+    np.testing.assert_allclose(float(l_mono), float(l_chunk), rtol=1e-5)
+    flat_m = jax.tree.leaves(g_mono)
+    flat_c = jax.tree.leaves(g_chunk)
+    for a, b_ in zip(flat_m, flat_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_tight_bank_capacity_equivalence(setup):
+    """The episode-sized bank (4 slots at gap=1, T=4) must produce the
+    same loss/grads as the full former+latter+1 ring: attention masks by
+    live length and the PE interpolation depends only on it, so dead
+    slots are pure padding."""
+    from dataclasses import replace
+    from rmem_ocu_tpu.engine.train_engine import TrainEngine
+    exp, model = setup
+    exp = replace(exp, train_long_term_mem_gap=1)
+    batch = _batch(2, seed=11)
+    params = model.init(jax.random.PRNGKey(0), batch['frames'][:1, 0],
+                        jnp.zeros((1, SIZE, SIZE, exp.model.id_dim)))
+    rng = jax.random.PRNGKey(3)
+    step = jnp.zeros(())
+
+    def run(engine):
+        def f(p):
+            return engine.episode_loss(p, batch['frames'], batch['masks'],
+                                       batch['obj_nums'], step, rng,
+                                       enable_id_shuffle=False)[0]
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    eng_tight = TrainEngine(model, exp)
+    assert eng_tight._episode_capacity(T) == 4  # 1 ref + 3 writes
+    l_t, g_t = run(eng_tight)
+
+    eng_full = TrainEngine(model, exp)
+    eng_full._episode_capacity = lambda t: model.cfg.mem_bank_capacity
+    l_f, g_f = run(eng_full)
+
+    np.testing.assert_allclose(float(l_t), float(l_f), rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(g_t), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
