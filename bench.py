@@ -74,7 +74,8 @@ def _build(streams: int, model_name: str = 'r50_deaotl'):
     return engine, params, state, frames, (H, W)
 
 
-V5E_NOMINAL_BF16_TFLOPS = 394.0     # per-chip peak (public v5e spec)
+V5E_NOMINAL_BF16_TFLOPS = 197.0     # per-chip bf16 peak (public v5e spec;
+                                    # 394 is the int8 number)
 
 
 def _cost_analysis(jit_fn, *args):
@@ -119,8 +120,9 @@ def _measure_hbm_bandwidth(mb=512, short=4, long=24):
         return run
 
     run_s, run_l = make(short), make(long)
-    float(run_s(a))
-    float(run_l(a))
+    for _ in range(3):      # first ~3 executions of an executable run cold
+        float(run_s(a))
+        float(run_l(a))
     t0 = time.perf_counter()
     float(run_s(a))
     ts = time.perf_counter() - t0
@@ -151,8 +153,9 @@ def _measure_peak_tflops(size=4096, short=6, long=38):
         return run
 
     run_s, run_l = make(short), make(long)
-    float(run_s(a))
-    float(run_l(a))
+    for _ in range(3):      # first ~3 executions of an executable run cold
+        float(run_s(a))
+        float(run_l(a))
     t0 = time.perf_counter()
     float(run_s(a))
     ts = time.perf_counter() - t0
@@ -202,9 +205,13 @@ def _measure_fps(engine, params, state, frames, out_size, n_iters=60):
                         (params, state, clip))
 
     # warmup / compile + fill the memory bank to steady state; drain the
-    # queue with a readback
-    state, preds = run_clip(params, state, clip)
-    float(jnp.sum(preds))
+    # queue with a readback. Three executions: the axon tunnel runs the
+    # first ~3 dispatches of a fresh executable well below steady state
+    # (cold buffer pools — measured 8x on the train step), which was the
+    # source of the round-2 "throttle variance"
+    for _ in range(3):
+        state, preds = run_clip(params, state, clip)
+        float(jnp.sum(preds))
 
     sync = _sync_overhead()
     t0 = time.perf_counter()
@@ -238,9 +245,10 @@ def _measure_p50_latency(engine, params, state, frames, out_size,
         state = engine._update_memory(params, state, pred)
         return jnp.sum(pred[:, ::64, ::64]), state
 
-    # compile + steady state
-    chk, state = frame_step(params, state, frames[0])
-    float(chk)
+    # compile + steady state (first ~3 executions run cold on the tunnel)
+    for i in range(3):
+        chk, state = frame_step(params, state, frames[i % len(frames)])
+        float(chk)
     sync = _sync_overhead()
 
     lat = []
@@ -353,8 +361,12 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
     state = trainer.globalize_state(state)
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    state, metrics = trainer.train_step(state, b, rng)
+    # warmup: the compile call plus 4 more steps — the first ~3 executions
+    # after compile run ~8x slower on the axon tunnel (cold buffer pools),
+    # then per-step time is stable to <1%; steady-state throughput is the
+    # honest number for a 20k-step training run
+    for _ in range(5):
+        state, metrics = trainer.train_step(state, b, rng)
     loss = float(metrics['loss'])
 
     t0 = time.perf_counter()

@@ -48,6 +48,12 @@ def parse_args():
                         'fp32 params/optimizer (reference --amp autocast + '
                         'GradScaler, trainer.py:170-176; no loss scaling '
                         'needed for bf16)')
+    p.add_argument('--enc_chunk', type=int, default=0,
+                   help='chunk the offline encoder pass through lax.scan '
+                        '(frames per chunk; 0 = one monolithic batch). '
+                        'Bounds the encoder-backward working set at '
+                        'recipe-scale shapes; numerically identical for '
+                        'frozen-BN encoders')
     return p.parse_args()
 
 
@@ -130,6 +136,8 @@ def main():
         overrides['train_tblog'] = True
     if args.amp:
         overrides['train_amp'] = True
+    if args.enc_chunk:
+        overrides['train_encoder_chunk'] = args.enc_chunk
     if overrides:
         exp = replace(exp, **overrides)
 
