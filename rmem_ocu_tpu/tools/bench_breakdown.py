@@ -28,8 +28,9 @@ def timed_scan(name, body, carry0, n_short=10, n_long=40):
         def run(c, n=n):
             c, outs = jax.lax.scan(body, c, None, length=n)
             return outs[-1]
-        _ = float(run(carry0))          # compile + drain
-        t0 = time.perf_counter()
+        for _ in range(3):              # compile + warm: the first ~3
+            _ = float(run(carry0))      # executions of an executable run
+        t0 = time.perf_counter()        # cold on the axon tunnel
         _ = float(run(carry0))          # readback forces completion
         ts[n] = time.perf_counter() - t0
     per_iter = (ts[n_long] - ts[n_short]) / (n_long - n_short) * 1e3
