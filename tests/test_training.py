@@ -160,3 +160,27 @@ def test_tight_bank_capacity_equivalence(setup):
     for a, b_ in zip(jax.tree.leaves(g_t), jax.tree.leaves(g_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_episode_capacity_rules(setup):
+    """Pure-function checks of the tight-bank sizing: falls back to the
+    full ring whenever the write schedule can overflow former+latter."""
+    from dataclasses import replace
+    from rmem_ocu_tpu.engine.train_engine import TrainEngine
+    exp, model = setup
+    cfg = model.cfg
+
+    def cap(gap, t):
+        eng = TrainEngine(model, replace(exp, train_long_term_mem_gap=gap))
+        return eng._episode_capacity(t)
+
+    # recipe shape: gap 4, T 15 -> ref + 3 writes
+    assert cap(4, 15) == 4
+    # NO_MEMORY_GAP-style gap 1, T 15 -> 15 live > former+latter(9):
+    # eviction active, full ring needed
+    assert cap(1, 15) == cfg.mem_bank_capacity
+    # huge gap -> ref frame only
+    assert cap(9999, 15) == 1
+    # exactly at the boundary: live == former+latter stays tight
+    t_boundary = 1 + (cfg.former_mem_len + cfg.latter_mem_len - 1)
+    assert cap(1, t_boundary) == cfg.former_mem_len + cfg.latter_mem_len
