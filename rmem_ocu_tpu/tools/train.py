@@ -32,6 +32,13 @@ def parse_args():
     p.add_argument('--save_step', type=int, default=None)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--crop_size', type=int, default=None)
+    p.add_argument('--seq_len', type=int, default=None,
+                   help='training episode length (reference --seq_len / '
+                        'DATA_SEQ_LEN; the notebook fine-tune recipe uses '
+                        '5)')
+    p.add_argument('--mem_gap', type=int, default=None,
+                   help='train long-term memory write gap (reference '
+                        'TRAIN_LONG_TERM_MEM_GAP)')
     p.add_argument('--fix_random', action='store_true',
                    help='deterministic per-rank seeding of python/numpy/JAX '
                         '(reference tools/train.py:20-37: seed = 1 << rank); '
@@ -132,6 +139,10 @@ def main():
         overrides['train_save_step'] = args.save_step
     if args.crop_size:
         overrides['data_randomcrop'] = (args.crop_size, args.crop_size)
+    if args.seq_len:
+        overrides['data_seq_len'] = args.seq_len
+    if args.mem_gap:
+        overrides['train_long_term_mem_gap'] = args.mem_gap
     if args.tblog:
         overrides['train_tblog'] = True
     if args.amp:
