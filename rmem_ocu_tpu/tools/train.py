@@ -39,6 +39,16 @@ def parse_args():
     p.add_argument('--mem_gap', type=int, default=None,
                    help='train long-term memory write gap (reference '
                         'TRAIN_LONG_TERM_MEM_GAP)')
+    p.add_argument('--freeze_at', type=int, default=None,
+                   help='encoder stage freezing (reference FREEZE_AT / '
+                        'encoders freeze(freeze_at)); 0 trains the whole '
+                        'encoder — required when training from scratch, '
+                        'where freezing would pin a random stem')
+    p.add_argument('--no_freeze_bn', action='store_true',
+                   help='train encoder BatchNorm statistics (reference '
+                        'MODEL_FREEZE_BN=False); the default frozen BN '
+                        'assumes an ImageNet-pretrained encoder and is an '
+                        'identity affine at random init')
     p.add_argument('--fix_random', action='store_true',
                    help='deterministic per-rank seeding of python/numpy/JAX '
                         '(reference tools/train.py:20-37: seed = 1 << rank); '
@@ -143,6 +153,10 @@ def main():
         overrides['data_seq_len'] = args.seq_len
     if args.mem_gap:
         overrides['train_long_term_mem_gap'] = args.mem_gap
+    if args.freeze_at is not None:
+        overrides['train_encoder_freeze_at'] = args.freeze_at
+    if args.no_freeze_bn:
+        exp = replace(exp, model=replace(exp.model, freeze_bn=False))
     if args.tblog:
         overrides['train_tblog'] = True
     if args.amp:
