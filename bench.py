@@ -446,6 +446,34 @@ def main_pallas_ab(size: int = 353):
     assert agree > 0.99, f'Pallas mask agreement {agree}'
 
 
+def _require_backend(timeout_s: int = 300):
+    """Fail fast (instead of hanging forever) when the tunneled TPU is
+    unreachable. A downed tunnel leaves PJRT client creation in an
+    uninterruptible retry loop, so the probe runs `jax.devices()` in a
+    separate process under a hard timeout."""
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable, '-c', 'import jax; print(jax.devices())'],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            'metric': 'eval_fps_480p_per_chip', 'value': 0.0,
+            'unit': 'frames/sec', 'vs_baseline': 0.0,
+            'error': f'TPU backend unreachable: jax.devices() did not '
+                     f'return within {timeout_s}s (tunnel down); '
+                     f'no measurement taken'}))
+        raise SystemExit(2)
+    if out.returncode != 0:
+        print(json.dumps({
+            'metric': 'eval_fps_480p_per_chip', 'value': 0.0,
+            'unit': 'frames/sec', 'vs_baseline': 0.0,
+            'error': 'jax backend init failed: '
+                     + out.stderr.strip()[-500:]}))
+        raise SystemExit(2)
+
+
 if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--streams', type=int, default=1,
@@ -477,6 +505,7 @@ if __name__ == '__main__':
                    help='fused Pallas memory read vs XLA path: numeric '
                         'equivalence + throughput A/B')
     args = p.parse_args()
+    _require_backend()
     if args.train:
         main_train(batch=args.train_batch, seq=args.train_seq,
                    size=args.train_size, remat=args.remat,
