@@ -56,6 +56,11 @@ def parse_args():
     p.add_argument('--tblog', action='store_true',
                    help='TensorBoard scalar + pred/GT image logging '
                         '(reference trainer.py:687-804)')
+    p.add_argument('--mesh', type=str, default=None,
+                   help="device mesh as DATAxMODEL, e.g. '4x2' = 4-way "
+                        'data x 2-way tensor parallel over the LSTT '
+                        '(parallel/tp.py); default: all devices on one '
+                        'data axis')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed (one process per host; '
                         'replaces the reference mp.spawn + gloo DDP, '
@@ -157,6 +162,16 @@ def main():
         overrides['train_encoder_freeze_at'] = args.freeze_at
     if args.no_freeze_bn:
         exp = replace(exp, model=replace(exp.model, freeze_bn=False))
+    if args.mesh:
+        dims = tuple(int(d) for d in args.mesh.lower().split('x'))
+        if len(dims) == 1:
+            overrides['mesh_shape'] = dims
+            overrides['mesh_axes'] = ('data',)
+        elif len(dims) == 2:
+            overrides['mesh_shape'] = dims
+            overrides['mesh_axes'] = ('data', 'model')
+        else:
+            raise SystemExit(f'--mesh {args.mesh!r}: want D or DxM')
     if args.tblog:
         overrides['train_tblog'] = True
     if args.amp:
@@ -186,14 +201,15 @@ def main():
 
     model = build_vos_model(exp.model, exp)
     trainer = Trainer(model, exp)
-    n_dev = trainer.mesh.devices.size
+    n_data = dict(zip(trainer.mesh.axis_names,
+                      trainer.mesh.devices.shape))['data']
     per_host_batch = exp.train_batch_size
     # P('data') sharding requires exact divisibility; anything else dies
     # later in XLA with an opaque error, so reject it here
-    if per_host_batch % n_dev != 0:
+    if per_host_batch % n_data != 0:
         raise SystemExit(
             f'--batch_size {per_host_batch} is not divisible by the '
-            f'{n_dev}-device data mesh; pick a multiple of {n_dev}')
+            f'{n_data}-way data axis; pick a multiple of {n_data}')
 
     dataset = build_train_dataset(exp)
     loader = TrainDataLoader(dataset, per_host_batch, seed=args.seed,

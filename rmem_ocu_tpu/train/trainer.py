@@ -7,6 +7,10 @@ batch is sharded over it and XLA inserts the gradient all-reduce (psum)
 automatically from the sharding annotations — no process groups, no DDP
 wrapper, no SyncBN (the reference freezes BN anyway), no GradScaler
 (bfloat16 needs no loss scaling).
+
+Beyond the reference: an optional `model` mesh axis tensor-parallelizes
+the LSTT/GPM projections (parallel/tp.py) — same train_step, different
+PartitionSpecs.
 """
 from __future__ import annotations
 
@@ -22,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rmem_ocu_tpu.config import ExpConfig
 from rmem_ocu_tpu.engine.train_engine import TrainEngine
 from rmem_ocu_tpu.models.vos_model import VOSModel
+from rmem_ocu_tpu.parallel import tp
 from rmem_ocu_tpu.train import optim
 
 
@@ -72,20 +77,20 @@ class Trainer:
     # -------------------------------------------------------------- #
     def globalize_state(self, state: TrainState) -> TrainState:
         """Lift host-local state arrays onto the (possibly multi-host)
-        mesh as fully-replicated global arrays.
+        mesh — fully replicated on a pure-`data` mesh, tensor-parallel
+        over a `model` axis when the mesh has one (parallel/tp.py).
 
-        Single-host this is a no-op-shaped device_put; multi-host it is
-        required: jit over a process-spanning mesh only accepts global
-        jax.Arrays, so the host-local trees produced by init_state /
-        checkpoint restore must be converted once after construction
-        (replaces the reference's DDP module broadcast,
-        trainer.py:107-113)."""
-        repl = NamedSharding(self.mesh, P())
+        Single-host this is a device_put; multi-host it is required: jit
+        over a process-spanning mesh only accepts global jax.Arrays, so
+        the host-local trees produced by init_state / checkpoint restore
+        must be converted once after construction (replaces the
+        reference's DDP module broadcast, trainer.py:107-113)."""
+        shardings = tp.state_shardings(state, self.mesh)
         if jax.process_count() == 1:
-            return jax.device_put(state, repl)
+            return jax.tree.map(jax.device_put, state, shardings)
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                repl, np.asarray(x)), state)
+            lambda x, s: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), state, shardings)
 
     def _globalize_batch(self, batch: dict) -> dict:
         """Per-host batch shard [B_host, ...] -> global array
@@ -191,14 +196,17 @@ class Trainer:
         if key not in self._train_step_cache:
             data_sharding = NamedSharding(self.mesh, P('data'))
             repl = NamedSharding(self.mesh, P())
+            # TP specs where the mesh has a model axis, replicated
+            # otherwise (then this is exactly the old P() everywhere)
+            state_sh = tp.state_shardings(state, self.mesh)
             fn = functools.partial(self._train_step,
                                    use_prev_pred=use_prev_pred,
                                    extra_frozen=extra_frozen)
             self._train_step_cache[key] = jax.jit(
                 fn,
-                in_shardings=(repl, data_sharding, data_sharding,
+                in_shardings=(state_sh, data_sharding, data_sharding,
                               data_sharding, repl),
-                out_shardings=(repl, repl),
+                out_shardings=(state_sh, repl),
                 donate_argnums=(0,))
         batch = self._globalize_batch(batch)
         if jax.process_count() > 1:
