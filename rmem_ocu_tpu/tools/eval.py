@@ -62,6 +62,12 @@ def parse_args():
     p.add_argument('--no_config_reload', action='store_true',
                    help='ignore the training config.json snapshot '
                         '(reference eval.py:97-102 prefers the snapshot)')
+    p.add_argument('--mesh', type=int, default=0,
+                   help='model-parallel serving over N local devices: '
+                        'params are committed with tensor-parallel '
+                        'PartitionSpecs (parallel/tp.py shard_params) and '
+                        'the unchanged engine runs SPMD; 0/1 = single '
+                        'device (the reference has no model parallelism)')
     return p.parse_args()
 
 
@@ -156,6 +162,18 @@ def main():
     if args.bf16:
         from rmem_ocu_tpu.utils.precision import cast_floating
         params = cast_floating(params, jnp.bfloat16)
+
+    if args.mesh and args.mesh > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+        from rmem_ocu_tpu.parallel import shard_params
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            raise SystemExit(f'--mesh {args.mesh}: only {len(devs)} '
+                             f'devices visible')
+        mesh = Mesh(np.asarray(devs[:args.mesh]), ('model',))
+        params = shard_params(params, mesh)
+        print(f'model-parallel serving over {args.mesh} devices')
 
     output = args.output or os.path.join(exp.dir_result(), 'eval',
                                          args.dataset)
