@@ -446,32 +446,36 @@ def main_pallas_ab(size: int = 353):
     assert agree > 0.99, f'Pallas mask agreement {agree}'
 
 
-def _require_backend(timeout_s: int = 300):
-    """Fail fast (instead of hanging forever) when the tunneled TPU is
+def _require_backend(timeout_s: int = 120, retries: int = 10,
+                     retry_wait_s: int = 60):
+    """Fail fast-ish (instead of hanging forever) when the tunneled TPU is
     unreachable. A downed tunnel leaves PJRT client creation in an
     uninterruptible retry loop, so the probe runs `jax.devices()` in a
-    separate process under a hard timeout."""
+    separate process under a hard timeout; the tunnel is known to flap
+    for hours (2026-08-18 outage), so retry a bounded number of times
+    before giving up with an explicit error line."""
     import subprocess
     import sys
-    try:
-        out = subprocess.run(
-            [sys.executable, '-c', 'import jax; print(jax.devices())'],
-            capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        print(json.dumps({
-            'metric': 'eval_fps_480p_per_chip', 'value': 0.0,
-            'unit': 'frames/sec', 'vs_baseline': 0.0,
-            'error': f'TPU backend unreachable: jax.devices() did not '
-                     f'return within {timeout_s}s (tunnel down); '
-                     f'no measurement taken'}))
-        raise SystemExit(2)
-    if out.returncode != 0:
-        print(json.dumps({
-            'metric': 'eval_fps_480p_per_chip', 'value': 0.0,
-            'unit': 'frames/sec', 'vs_baseline': 0.0,
-            'error': 'jax backend init failed: '
-                     + out.stderr.strip()[-500:]}))
-        raise SystemExit(2)
+    err = ''
+    for attempt in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, '-c', 'import jax; print(jax.devices())'],
+                capture_output=True, text=True, timeout=timeout_s)
+            if out.returncode == 0:
+                return
+            err = 'jax backend init failed: ' + out.stderr.strip()[-400:]
+        except subprocess.TimeoutExpired:
+            err = (f'TPU backend unreachable: jax.devices() did not return '
+                   f'within {timeout_s}s (tunnel down)')
+        print(f'backend probe {attempt + 1}/{retries} failed; '
+              f'retrying in {retry_wait_s}s', file=sys.stderr, flush=True)
+        time.sleep(retry_wait_s)
+    print(json.dumps({
+        'metric': 'eval_fps_480p_per_chip', 'value': 0.0,
+        'unit': 'frames/sec', 'vs_baseline': 0.0,
+        'error': err + '; no measurement taken'}))
+    raise SystemExit(2)
 
 
 if __name__ == '__main__':
