@@ -198,7 +198,12 @@ class InferEngine:
             gru_hidden_v=(None if state.gru_hidden_v is None
                           else jnp.zeros_like(state.gru_hidden_v)))
         img = img.astype(self.dtype)
-        xs = self._encode(params, img)
+        # USE_MASK models condition the reference-frame encoder on the GT
+        # label too (reference add_reference_frame -> encode_one_img_mask
+        # with the mask, aot_engine.py:157-160, 258-260)
+        enc_mask = (mask[..., None].astype(jnp.int32)
+                    if cfg.use_mask else None)
+        xs = self._encode(params, img, enc_mask)
         b, h, w, _ = xs[-1].shape
         size_2d = (h, w)
 

@@ -244,8 +244,11 @@ class Evaluator:
                 if oracle:
                     lbl = base.label[:, ::-1] if aug.flip else base.label
                     lbl = self._label_at(lbl, aug.in_size)
+                    # int label map: encode_image ignore-clears + binarizes
+                    # it like the reference (evaluator.py:411-415 feeds
+                    # current_label.int(); aot.py:118-121 binarizes)
                     mask_in = jnp.repeat(
-                        jnp.asarray(lbl[None, ..., None], jnp.float32),
+                        jnp.asarray(lbl[None, ..., None], jnp.int32),
                         n_groups, 0)
                 logits, aug.state = engine.propagate(self.params, aug.state,
                                                      img, mask_in)

@@ -97,10 +97,27 @@ class VOSModel(nn.Module):
 
     # --- reference AOT.encode_image (aot.py:116-134) ---
     def encode_image(self, img, mask=None):
-        """mask: optional [B, H, W, 1] label map for the mask-conditioned
-        TopDown encoder (reference aot.py:125-129, USE_MASK/ORACLE path)."""
+        """mask: optional conditioning input for the mask-conditioned
+        TopDown encoder (reference aot.py:115-129, USE_MASK/ORACLE path):
+        an int label map [B, H, W, 1] is ignore-cleared (255 -> 0) and
+        foreground-binarized; a float probability map [B, H, W, O+1]
+        becomes 1 - P(background) (the dead PREV_PROBE shape). Anything
+        else is the reference's "mask is not expected" error."""
         if self.cfg.use_mask and mask is not None:
-            xs = self.encoder(img, mask)
+            mask = jax.lax.stop_gradient(mask)
+            if (mask.shape[-1] == 1
+                    and jnp.issubdtype(mask.dtype, jnp.integer)):
+                m = jnp.where(mask == 255, 0, mask)
+                m = (m > 0).astype(img.dtype)
+            elif (mask.shape[-1] > 1
+                    and jnp.issubdtype(mask.dtype, jnp.floating)):
+                m = 1.0 - mask[..., 0:1].astype(img.dtype)
+            else:
+                raise ValueError(
+                    f'use_mask conditioning expects an int label '
+                    f'[B,H,W,1] or float probabilities [B,H,W,O+1]; got '
+                    f'{mask.dtype} {mask.shape} (reference aot.py:115-124)')
+            xs = self.encoder(img, m)
         else:
             xs = self.encoder(img)
         xs[-1] = self.encoder_projector(xs[-1])

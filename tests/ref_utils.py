@@ -25,13 +25,21 @@ def setup_reference_path():
         sys.modules['timm.models'] = timm_models
         sys.modules['timm.models.layers'] = timm_layers
     # shim torchvision (not installed): only ResNet_TopDown's mask-resize
-    # uses it, which these tests never exercise
+    # uses it (resnet.py:328, bilinear, tensor input -> antialias off)
     if 'torchvision' not in sys.modules:
+        import torch
         tv = types.ModuleType('torchvision')
         tv_t = types.ModuleType('torchvision.transforms')
         tv_f = types.ModuleType('torchvision.transforms.functional')
         class _IM:  # noqa: N801
             NEAREST = 0
+            BILINEAR = 2
+        def _resize(img, size, interpolation=_IM.BILINEAR, **kw):
+            mode = 'nearest' if interpolation == _IM.NEAREST else 'bilinear'
+            kwargs = {} if mode == 'nearest' else {'align_corners': False}
+            return torch.nn.functional.interpolate(
+                img, size=list(size), mode=mode, **kwargs)
+        tv_f.resize = _resize
         tv_t.functional = tv_f
         tv_t.InterpolationMode = _IM
         tv.transforms = tv_t

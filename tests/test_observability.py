@@ -118,8 +118,8 @@ def test_oracle_couples_use_mask_and_conditions_encoder():
     img = jax.random.normal(rng, (1, 65, 65, 3))
     oh = jnp.zeros((1, 65, 65, m.id_dim))
     params = model.init(rng, img, oh)
-    mask0 = jnp.zeros((1, 65, 65, 1))
-    mask1 = jnp.ones((1, 65, 65, 1))
+    mask0 = jnp.zeros((1, 65, 65, 1), jnp.int32)
+    mask1 = jnp.ones((1, 65, 65, 1), jnp.int32)
     enc = lambda mk: model.apply(params, img, mk, mutable=['losses'],
                                  method='encode_image')[0][-1]
     assert not jnp.allclose(enc(mask0), enc(mask1))
