@@ -233,6 +233,12 @@ class ExpConfig:
     test_workers: int = 4
     test_long_term_mem_gap: int = 9999
     test_short_term_mem_skip: int = 1
+    # pin the eval write gap to test_long_term_mem_gap instead of the
+    # per-sequence adaptive max(round(frames/30), 5). The reference always
+    # uses the adaptive value (evaluator.py:331-335, 356 overwrites the
+    # engine's TEST_LONG_TERM_MEM_GAP), so False is reference behavior;
+    # --gap in tools/eval.py sets this for explicit control
+    test_fixed_mem_gap: bool = False
 
     # --- dirs ---
     dir_data: str = './datasets'

@@ -52,6 +52,16 @@ def adaptive_mem_gap(num_frames: int, base_gap: int,
     return gap
 
 
+def sequence_mem_gap(exp, cfg, num_frames: int) -> int:
+    """Per-sequence write gap: the reference's adaptive value always wins
+    (evaluator.py:356 overwrites the engine's configured gap) unless
+    test_fixed_mem_gap pins test_long_term_mem_gap (--gap)."""
+    if exp.test_fixed_mem_gap:
+        return exp.test_long_term_mem_gap
+    return adaptive_mem_gap(num_frames, exp.test_long_term_mem_gap,
+                            cfg.no_memory_gap)
+
+
 def separate_mask_groups(mask: np.ndarray, n_groups: int,
                          group_size: int) -> np.ndarray:
     """Split a label map into per-group masks with ids 1..group_size
@@ -183,8 +193,7 @@ class Evaluator:
 
     def _eval_sequence(self, seq_name: str, seq, verbose: bool):
         exp, cfg = self.exp, self.cfg
-        gap = adaptive_mem_gap(len(seq), exp.test_long_term_mem_gap,
-                               cfg.no_memory_gap)
+        gap = sequence_mem_gap(exp, cfg, len(seq))
         engine = self.engine
         group_size = cfg.max_obj_num
 

@@ -50,7 +50,10 @@ def parse_args():
                    help='defaults to exp.test_multiscale')
     p.add_argument('--former_mem_len', type=int, default=None)
     p.add_argument('--latter_mem_len', type=int, default=None)
-    p.add_argument('--gap', type=int, default=None)
+    p.add_argument('--gap', type=int, default=None,
+                   help='pin the long-term write gap; default is the '
+                        "reference's per-sequence adaptive "
+                        'max(round(frames/30), 5) (evaluator.py:331-335)')
     p.add_argument('--frame_log', action='store_true',
                    help='print per-frame latency (reference TEST_FRAME_LOG)')
     p.add_argument('--bf16', action='store_true',
@@ -105,7 +108,10 @@ def main():
     if model_overrides:
         exp = replace(exp, model=replace(exp.model, **model_overrides))
     if args.gap is not None:
-        exp = replace(exp, test_long_term_mem_gap=args.gap)
+        # explicit --gap pins the write gap (the default is the
+        # reference's per-sequence adaptive max(round(frames/30), 5))
+        exp = replace(exp, test_long_term_mem_gap=args.gap,
+                      test_fixed_mem_gap=True)
     if args.no_ema:
         exp = replace(exp, test_ema=False)
     if args.aggregation is not None:

@@ -33,6 +33,18 @@ def test_adaptive_mem_gap():
     assert adaptive_mem_gap(60, 5, no_memory_gap=True) == 1
 
 
+def test_sequence_mem_gap_fixed_override():
+    """The adaptive gap always wins (reference evaluator.py:356 overwrites
+    the engine's configured gap) unless --gap pins it via
+    test_fixed_mem_gap."""
+    from dataclasses import replace
+    from rmem_ocu_tpu.eval.evaluator import sequence_mem_gap
+    exp = get_config('pre_vost', model='aott')
+    assert sequence_mem_gap(exp, exp.model, 300) == 10   # adaptive
+    pinned = replace(exp, test_long_term_mem_gap=7, test_fixed_mem_gap=True)
+    assert sequence_mem_gap(pinned, pinned.model, 300) == 7
+
+
 def test_evaluator_end_to_end_synthetic(tmp_path):
     exp = get_config('pre_vost', model='aott')
     cfg = exp.model
