@@ -174,12 +174,19 @@ class TrainEngine:
         if 'batch_stats' in params:
             mut.append('batch_stats')
 
-        def encode(p, imgs, enc_rngs):
+        # ORACLE training: the offline encode consumes the GT labels too
+        # (reference offline_encoder, aot_engine.py:178-183 under
+        # USE_MASK+ORACLE encodes all frames with all masks)
+        enc_mask = (masks.reshape(b * t_total, h, w)[..., None].astype(
+            jnp.int32) if cfg.use_mask else None)
+
+        def encode(p, imgs, enc_rngs, m=None):
             if mut:
                 return self.model.apply(
-                    p, imgs, method=VOSModel.encode_image, rngs=enc_rngs,
+                    p, imgs, m, method=VOSModel.encode_image, rngs=enc_rngs,
                     mutable=mut)
-            return self.model.apply(p, imgs, method=VOSModel.encode_image,
+            return self.model.apply(p, imgs, m,
+                                    method=VOSModel.encode_image,
                                     rngs=enc_rngs), {}
 
         # the offline pass holds all B*T frames' conv activations for
@@ -190,7 +197,8 @@ class TrainEngine:
             encode = jax.checkpoint(encode)
         n_flat = b * t_total
         chunk = getattr(exp, 'train_encoder_chunk', 0)
-        if chunk and 0 < chunk < n_flat and n_flat % chunk == 0 and not mut:
+        if (chunk and 0 < chunk < n_flat and n_flat % chunk == 0
+                and not mut and enc_mask is None):
             # chunked offline encode: backward recomputes one chunk's conv
             # activations at a time instead of all B*T at once (see
             # ExpConfig.train_encoder_chunk). Frozen-BN encoders are pure
@@ -208,7 +216,7 @@ class TrainEngine:
             xs = [x.reshape(n_flat, *x.shape[2:]) for x in xs]
             updated = {}
         else:
-            xs, updated = encode(params, flat, rngs)
+            xs, updated = encode(params, flat, rngs, enc_mask)
         sows = jax.tree.leaves(updated.get('losses', {}))
         if sows:
             var_loss = jnp.mean(jnp.stack(sows))

@@ -75,6 +75,11 @@ def make_torch_cfg(model_cfg, train_cfg=None):
     ns.TRAIN_LSTT_LT_DROPOUT = 0.0
     ns.TRAIN_LSTT_ST_DROPOUT = 0.0
     ns.USE_MASK = m.use_mask
+    ns.ORACLE = m.oracle
+    if m.var_loss_weight is not None:
+        # reference gates on hasattr (aot_engine.py:116); only topdown
+        # configs define it (configs/models/r50_topdown_aotl.py:9)
+        ns.VAR_LOSS_WEIGHT = m.var_loss_weight
     ns.USE_TEMPORAL_POSITIONAL_EMBEDDING = m.use_temporal_pe
     ns.TEMPORAL_POSITIONAL_EMBEDDING_SLOT_4 = m.temporal_pe_slot_4
     ns.TIME_ENCODE = m.time_encode

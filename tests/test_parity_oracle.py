@@ -91,6 +91,10 @@ def test_streaming_oracle_parity():
             torch.from_numpy(mask0).unsqueeze(1).int(),
             obj_nums=[2], frame_step=0)
 
+    _stream_and_compare(eng, params, st, teng, frames, gts)
+
+
+def _stream_and_compare(eng, params, st, teng, frames, gts):
     for t, (frame, gt) in enumerate(zip(frames, gts)):
         gt_j = jnp.asarray(gt.astype(np.int32))[..., None]  # [B,H,W,1] int
         logits, st = eng.propagate(params, st, jnp.asarray(frame),
@@ -120,3 +124,73 @@ def test_streaming_oracle_parity():
         assert int(st.bank.length[0]) == t_len, f'frame {t}'
         got_ids = list(np.asarray(st.bank.frame_ids[0][:t_len]))
         assert got_ids == teng.long_memories_indexes, f'frame {t}'
+
+
+def test_oracle_train_episode_loss_parity():
+    """ORACLE training: the offline encode consumes the GT labels
+    (reference offline_encoder, aot_engine.py:178-183) and the var-loss
+    joins the total (aot_engine.py:115-118). Episode loss must match the
+    reference AOTEngine.forward with converted weights."""
+    from dataclasses import replace
+
+    from rmem_ocu_tpu.engine.train_engine import TrainEngine
+
+    T = 4
+    exp = get_config('pre_vost', model='r50_topdown_aotl', oracle=True)
+    exp = replace(exp, data_seq_len=T, train_total_steps=1000,
+                  train_lstt_droppath=0.0)
+    cfg = exp.model
+    assert cfg.use_mask and cfg.var_loss_weight is not None
+    jmodel = build_vos_model(cfg, exp)
+
+    tcfg = make_torch_cfg(cfg, exp)
+    tcfg.TRAIN_LSTT_DROPPATH = 0.0
+    from networks.models.aot import AOT
+    from networks.engines.aot_engine import AOTEngine
+    tmodel = AOT(tcfg, encoder=cfg.encoder)
+    tmodel.eval()
+    randomize_state_dict(tmodel, seed=13)
+
+    rng = np.random.RandomState(4)
+    frames = rng.randn(1, T, SIZE, SIZE, 3).astype(np.float32) * 0.5
+    masks = (rng.rand(1, T, SIZE, SIZE) * 3).astype(np.int64)
+    step = 100
+
+    variables = jmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, SIZE, SIZE, 3)),
+                            jnp.zeros((1, SIZE, SIZE, cfg.id_dim)))
+    params, _ = convert_torch_params(tmodel.state_dict(), variables, cfg,
+                                     strict=True)
+    eng = TrainEngine(jmodel, exp)
+    loss, aux = eng.episode_loss(
+        params, jnp.asarray(frames), jnp.asarray(masks.astype(np.int32)),
+        jnp.array([2], jnp.int32), jnp.asarray(step, jnp.float32),
+        jax.random.PRNGKey(0), use_prev_pred=False,
+        enable_id_shuffle=False)
+    assert float(aux['var_loss']) > 0
+
+    teng = AOTEngine(tmodel, gpu_id=0,
+                     long_term_mem_gap=exp.train_long_term_mem_gap,
+                     short_term_mem_skip=1)
+    teng.eval()
+    teng.restart_engine(batch_size=1, enable_id_shuffle=False)
+    orig_assign = teng.assign_identity
+
+    def patched(one_hot_mask, ignore_mask=None):
+        if ignore_mask is None:
+            ignore_mask = torch.zeros(
+                one_hot_mask.shape[0], 1, one_hot_mask.shape[2],
+                one_hot_mask.shape[3])
+        return orig_assign(one_hot_mask, ignore_mask)
+
+    teng.assign_identity = patched
+    t_frames = torch.from_numpy(
+        frames.reshape(T, SIZE, SIZE, 3)).permute(0, 3, 1, 2)
+    t_masks = torch.from_numpy(masks.reshape(T, 1, SIZE, SIZE))
+    with torch.no_grad():
+        t_loss, _, _, _ = teng(t_frames, t_masks, batch_size=1,
+                               obj_nums=[2], step=step,
+                               use_prev_pred=False)
+
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=2e-3,
+                               atol=2e-3)
