@@ -446,7 +446,9 @@ def main_pallas_ab(size: int = 353):
     assert agree > 0.99, f'Pallas mask agreement {agree}'
 
 
-def _require_backend(timeout_s: int = 120, retries: int = 10,
+def _require_backend(metric: str = 'eval_fps_480p_per_chip',
+                     unit: str = 'frames/sec',
+                     timeout_s: int = 120, retries: int = 10,
                      retry_wait_s: int = 60):
     """Fail fast-ish (instead of hanging forever) when the tunneled TPU is
     unreachable. A downed tunnel leaves PJRT client creation in an
@@ -471,9 +473,11 @@ def _require_backend(timeout_s: int = 120, retries: int = 10,
         print(f'backend probe {attempt + 1}/{retries} failed; '
               f'retrying in {retry_wait_s}s', file=sys.stderr, flush=True)
         time.sleep(retry_wait_s)
+    # label the error record with the metric that was actually being
+    # requested — a --train failure must not zero the eval-FPS series
     print(json.dumps({
-        'metric': 'eval_fps_480p_per_chip', 'value': 0.0,
-        'unit': 'frames/sec', 'vs_baseline': 0.0,
+        'metric': metric, 'value': 0.0,
+        'unit': unit, 'vs_baseline': 0.0,
         'error': err + '; no measurement taken'}))
     raise SystemExit(2)
 
@@ -509,7 +513,16 @@ if __name__ == '__main__':
                    help='fused Pallas memory read vs XLA path: numeric '
                         'equivalence + throughput A/B')
     args = p.parse_args()
-    _require_backend()
+    if args.train:
+        _require_backend(
+            metric=(f'train_fps_per_chip_{args.model}_b{args.train_batch}'
+                    f'_s{args.train_seq}_{args.train_size}'),
+            unit='train-frames/sec')
+    elif args.pallas_ab:
+        _require_backend(metric='pallas_vs_xla_memory_read',
+                         unit='frames/sec')
+    else:
+        _require_backend()
     if args.train:
         main_train(batch=args.train_batch, seq=args.train_seq,
                    size=args.train_size, remat=args.remat,

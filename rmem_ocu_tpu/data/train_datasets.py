@@ -179,26 +179,39 @@ class VOSTrainDataset:
         follows the upstream AOT layout with seq_len-2 gaps, keeping the
         episode at seq_len frames (ref + prev + seq_len-2 curr) like the
         default branch (which re-labels curr[0] as prev, :547-549).
+
+        Every index here lives in LABLIST space (prev_index is drawn from
+        len(lablist), the reference bounds the curr walk by lablist too —
+        get_curr_indices(lablist, ...) :469 — and ref_index indexes
+        lablist): on sparse-annotation datasets (YouTube-VOS annotates
+        ~every 5th frame) mixing in imagelist indices would make the
+        ref-exclusion window meaningless and land 'prev' on unannotated
+        frames. Frames are therefore read by lablist-derived name
+        (is_ref=True), so the prev-frame episode trains on annotated
+        frames only, like the upstream layout.
         """
         gaps, total_gap = self._gaps(rng, self.seq_len - 2, set(lablist),
-                                     imagelist, 0)
+                                     lablist, 0)
         prev_index = self._prev_index(rng, lablist, total_gap)
-        prev_image, prev_label = self._image_label(seqname, imagelist,
-                                                   lablist, prev_index)
+        prev_image, prev_label = self._image_label(
+            seqname, imagelist, lablist, prev_index, is_ref=True)
         frames, labels = [prev_image], [prev_label]
         objs = (set(np.unique(prev_label)) if prev_label is not None
                 else set())
         now = prev_index
+        end_index = prev_index
         for gap in gaps:
-            now = self._reflect(len(imagelist), now + gap)
-            img, lab = self._image_label(seqname, imagelist, lablist, now)
+            now = self._reflect(len(lablist), now + gap)
+            end_index = max(end_index, now)
+            img, lab = self._image_label(seqname, imagelist, lablist, now,
+                                         is_ref=True)
             if lab is not None:
                 objs |= set(np.unique(lab))
             frames.append(img)
             labels.append(lab)
-        end_index = now
 
-        # ref outside (prev_index, end_index] (reference :484-490)
+        # ref outside (prev_index, end_index] (reference :484-490;
+        # end_index = max of the walk, matching max(curr_indices))
         ref_index = self._ref_index(rng, seqname, lablist)
         for _ in range(5):
             if not (prev_index < ref_index <= end_index):

@@ -197,8 +197,22 @@ class TrainEngine:
             encode = jax.checkpoint(encode)
         n_flat = b * t_total
         chunk = getattr(exp, 'train_encoder_chunk', 0)
-        if (chunk and 0 < chunk < n_flat and n_flat % chunk == 0
-                and not mut and enc_mask is None):
+        chunk_ok = (0 < chunk < n_flat and n_flat % chunk == 0
+                    and not mut and enc_mask is None)
+        if chunk and not chunk_ok:
+            # an explicitly requested chunk that silently falls back to the
+            # monolithic encode would reintroduce the OOM/spill the knob
+            # exists to avoid, with nothing connecting the failure to it
+            import warnings
+            reason = ('B*T=%d %% chunk=%d != 0' % (n_flat, chunk)
+                      if 0 < chunk < n_flat and n_flat % chunk else
+                      'chunk outside (0, B*T)' if not 0 < chunk < n_flat
+                      else 'trainable-BN / var-loss encoder'
+                      if mut else 'use_mask (oracle) encoding')
+            warnings.warn('train_encoder_chunk=%d ignored (%s); using the '
+                          'monolithic offline encode' % (chunk, reason),
+                          stacklevel=2)
+        if chunk and chunk_ok:
             # chunked offline encode: backward recomputes one chunk's conv
             # activations at a time instead of all B*T at once (see
             # ExpConfig.train_encoder_chunk). Frozen-BN encoders are pure
@@ -338,6 +352,11 @@ class TrainEngine:
             # use_prev_pred; reference aot_engine.py:91-99)
             if use_prev_pred:
                 upd_oh, upd_ig = one_hot_mask(pred_mask, cfg.max_obj_num)
+                # match the episode one-hots' dtype: under amp a float32
+                # one-hot here would promote the id-emb + memory-fusion
+                # path back to fp32 for the whole use_prev_pred phase
+                upd_oh = upd_oh.astype(one_hot_all.dtype)
+                upd_ig = upd_ig.astype(ignore_all.dtype)
             else:
                 upd_oh, upd_ig = oh, ig
             # per-step rngs: the episode-level `rngs` is a scan-invariant

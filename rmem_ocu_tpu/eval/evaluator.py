@@ -150,6 +150,12 @@ class Evaluator:
         self.aggregate = (min_aggregate_group_logits
                           if getattr(exp, 'test_aggregation', 'soft') ==
                           'min' else soft_aggregate_group_logits)
+        # one PNG-writer pool for the Evaluator's lifetime: a per-sequence
+        # pool leaked its threads (and swallowed queued write failures)
+        # whenever an exception interrupted the frame loop before the
+        # drain; the shared pool is bounded and the per-sequence drain
+        # below still surfaces write errors on the success path
+        self._io_pool = ThreadPoolExecutor(max_workers=4)
 
     def evaluate(self, dataset: EvalDataset, verbose: bool = True
                  ) -> EvalStats:
@@ -206,9 +212,9 @@ class Evaluator:
         frame_times = []
         # PNG writes overlap the next frame's compute (reference saves
         # masks on background threads, utils/image.py:103-105); submission
-        # happens outside the timed region and the pool is drained before
-        # the sequence returns so failures surface here
-        io_pool = ThreadPoolExecutor(max_workers=4)
+        # happens outside the timed region and the futures are drained
+        # before the sequence returns so failures surface here
+        io_pool = self._io_pool
         io_futures = []
 
         for frame_idx in range(len(seq)):
@@ -331,7 +337,6 @@ class Evaluator:
 
         for fut in io_futures:
             fut.result()
-        io_pool.shutdown()
 
         if verbose and timed_frames:
             print(f'[rank {self.rank}] {seq_name}: '

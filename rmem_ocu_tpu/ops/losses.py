@@ -32,7 +32,14 @@ def _topk_sum(x, k):
     autodiff-through-sort when values are distinct (n_ties = 1)."""
     bsz = x.shape[0]
     xs = jax.lax.stop_gradient(x)
-    u = jax.lax.bitcast_convert_type(xs, jnp.uint32)
+    # -0.0 bitcasts to 0x80000000, which the unsigned ordering would treat
+    # as the LARGEST value; perfectly-classified pixels produce
+    # nll = -sum(0.0 * onehot) = -0.0, so without normalization every
+    # confident pixel would occupy a top-k slot and the selected threshold
+    # would collapse. abs() clears the sign bit (x is non-negative by
+    # construction); the float comparisons below are IEEE (-0.0 == 0.0) so
+    # only the bitcast needs it.
+    u = jax.lax.bitcast_convert_type(jnp.abs(xs), jnp.uint32)
 
     def body(i, prefix):
         cand = prefix | (jnp.uint32(1) << (31 - i))

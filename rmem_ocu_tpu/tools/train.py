@@ -76,6 +76,13 @@ def parse_args():
                         'Bounds the encoder-backward working set at '
                         'recipe-scale shapes; numerically identical for '
                         'frozen-BN encoders')
+    p.add_argument('--remat', type=str, default=None,
+                   choices=['full', 'dots', 'none'],
+                   help='episode rematerialization policy: full = '
+                        'recompute each scan step in backward (lowest '
+                        'HBM), dots = keep matmul outputs '
+                        '(dots_with_no_batch_dims_saveable; faster when '
+                        'HBM allows), none = save everything')
     return p.parse_args()
 
 
@@ -114,10 +121,17 @@ def main():
     if args.multihost:
         jax.distributed.initialize()
     if args.fix_random:
-        # per-rank determinism harness (reference tools/train.py:20-37:
-        # random_seed = 1 << gpu, then python/numpy/torch seeded at
-        # consecutive offsets). The host-side data pipeline uses python
-        # random + numpy RandomState; JAX + the loader get seed+3.
+        # determinism harness (reference tools/train.py:20-37 seeds
+        # python/numpy/torch per rank at consecutive offsets of
+        # 1 << gpu). Only the host-global python/numpy states take the
+        # per-rank seed here; args.seed (the JAX init key and the loader
+        # permutation seed) MUST be host-invariant: globalize_state marks
+        # params as replicated across the mesh without any broadcast (the
+        # reference relies on DDP's rank-0 param broadcast instead,
+        # trainer.py:107-113), and TrainDataLoader's disjoint-shard
+        # property needs the identical permutation on every host before
+        # the rank::world stride. Per-rank augmentation diversity still
+        # happens via the per-sample seeds (seed + epoch*P + global idx).
         import random
         seed = 1 << jax.process_index()
         print(f'[{jax.process_index()}] fix random seed {seed}')
@@ -125,7 +139,7 @@ def main():
         random.seed(seed + 1)
         import numpy as _np
         _np.random.seed(seed + 2)
-        args.seed = seed + 3
+        args.seed = 4
     import jax.numpy as jnp
     from rmem_ocu_tpu.config import get_config
     from rmem_ocu_tpu.data.train_datasets import (TrainDataLoader,
@@ -178,6 +192,8 @@ def main():
         overrides['train_amp'] = True
     if args.enc_chunk:
         overrides['train_encoder_chunk'] = args.enc_chunk
+    if args.remat:
+        overrides['train_remat_policy'] = args.remat
     if overrides:
         exp = replace(exp, **overrides)
 
