@@ -1,0 +1,162 @@
+"""Kernel census of the streaming frame step.
+
+The 480p frame step on this environment's tunneled chip is bound by fixed
+per-kernel overhead (~30 us/kernel x ~100 kernels — see README roofline
+notes), not by either roofline, so the optimization currency is *kernel
+count*, not FLOPs. This tool compiles the exact frame-step program the
+benchmark runs (propagate -> predict_mask -> update_memory) and prints the
+top-level instruction census of the optimized HLO entry computation —
+each top-level instruction is roughly one executed kernel (fusions count
+once; parameters/tuples are free).
+
+Usage:
+    python -m rmem_ocu_tpu.tools.hlo_census [--model r50_deaotl] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import functools
+import re
+
+
+FREE_OPS = {
+    'parameter', 'constant', 'tuple', 'get-tuple-element', 'bitcast',
+    'after-all', 'iota',
+}
+
+
+def census(hlo_text: str):
+    """Count top-level instructions of the ENTRY computation by opcode.
+
+    Returns (counts Counter, names list[(opcode, result_shape, name)]).
+    """
+    lines = hlo_text.splitlines()
+    in_entry = False
+    counts = collections.Counter()
+    rows = []
+    depth = 0
+    for ln in lines:
+        if ln.startswith('ENTRY '):
+            in_entry = True
+            depth = 0
+            continue
+        if not in_entry:
+            continue
+        depth += ln.count('{') - ln.count('}')
+        if ln.strip() == '}' and depth < 0:
+            break
+        s = ln.strip()
+        m = re.match(r'(?:ROOT )?([%\w.\-]+) = ([^ ]+) ([a-z\-]+)\(', s)
+        if not m:
+            continue
+        name, shape, op = m.groups()
+        if op in FREE_OPS:
+            continue
+        counts[op] += 1
+        rows.append((op, shape, name))
+    return counts, rows
+
+
+def fusion_kinds(hlo_text: str):
+    """Counter of fusion kinds (kLoop/kInput/kOutput/custom)."""
+    kinds = collections.Counter()
+    for m in re.finditer(r'fusion\([^)]*\), kind=(\w+)', hlo_text):
+        kinds[m.group(1)] += 1
+    return kinds
+
+
+def _build(model_name: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rmem_ocu_tpu.config import get_config
+    from rmem_ocu_tpu.engine import InferEngine
+    from rmem_ocu_tpu.models import build_vos_model
+    from rmem_ocu_tpu.utils.precision import cast_floating
+
+    exp = get_config('pre_vost_2', model=model_name,
+                     compute_dtype='bfloat16')
+    cfg = exp.model
+    H, W = (353, 625) if cfg.align_corners else (352, 624)
+    model = build_vos_model(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, H, W, 3), jnp.float32)
+    mask = jnp.asarray((rng.rand(1, H, W) * 4).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), img,
+                        jnp.zeros((1, H, W, cfg.id_dim)))
+    params = cast_floating(params, jnp.bfloat16)
+    engine = InferEngine(model, exp, long_term_mem_gap=5)
+    if cfg.align_corners:
+        h16, w16 = (H - 1) // 16 + 1, (W - 1) // 16 + 1
+    else:
+        h16, w16 = H // 16, W // 16
+    state = engine.init_state(1, (h16, w16))
+    return engine, params, state, img, (H, W)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--model', default='r50_deaotl')
+    p.add_argument('--cpu', action='store_true',
+                   help='compile for CPU instead of the device backend '
+                        '(fusion boundaries differ, counts are indicative)')
+    p.add_argument('--stage_by_stage', action='store_true',
+                   help='also census propagate / predict / update separately')
+    p.add_argument('--dump', type=str, default=None,
+                   help='write the optimized HLO text here')
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    from rmem_ocu_tpu.utils.run_utils import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    engine, params, state, img, out_size = _build(args.model)
+
+    def frame_step(params, state, frame):
+        logits, state = engine._propagate(params, state, frame)
+        pred = engine.predict_mask(logits, out_size)
+        state = engine._update_memory(params, state, pred)
+        return jnp.sum(pred[:, ::64, ::64]), state
+
+    def report(name, fn, *fargs, donate=()):
+        # donate_argnums matches bench.py's jits so the persistent compile
+        # cache (and therefore the census) reflects the benchmarked program
+        compiled = jax.jit(fn, donate_argnums=donate).lower(*fargs).compile()
+        text = compiled.as_text()
+        counts, rows = census(text)
+        total = sum(counts.values())
+        print(f'\n== {name}: {total} top-level kernels ==')
+        for op, c in counts.most_common():
+            print(f'  {op:28s} {c}')
+        kinds = fusion_kinds(text)
+        if kinds:
+            print('  fusion kinds: '
+                  + ', '.join(f'{k}={v}' for k, v in kinds.most_common()))
+        if args.dump and name == 'FULL FRAME':
+            with open(args.dump, 'w') as f:
+                f.write(text)
+        return total, rows
+
+    report('FULL FRAME', frame_step, params, state, img, donate=(1,))
+
+    if args.stage_by_stage:
+        report('propagate', lambda p_, s, im: engine._propagate(p_, s, im),
+               params, state, img, donate=(1,))
+        logits, state2 = jax.jit(engine._propagate)(params, state, img)
+        report('predict_mask',
+               lambda lg: engine.predict_mask(lg, out_size), logits)
+        pred = jax.jit(functools.partial(
+            engine.predict_mask, output_size=out_size))(logits)
+        report('update_memory',
+               lambda p_, s, pr: engine._update_memory(p_, s, pr),
+               params, state2, pred, donate=(1,))
+
+
+if __name__ == '__main__':
+    main()
