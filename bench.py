@@ -218,12 +218,23 @@ def _measure_fps(engine, params, state, frames, out_size, n_iters=60):
     state, preds = run_clip(params, state, clip)
     _ = float(jnp.sum(preds))                 # forces real completion
     dt = max(time.perf_counter() - t0 - sync, 1e-6)
-    # whole-pipeline cost (propagate + predict + memory update), per frame
-    ca = _cost_analysis(run_clip, *spec)
-    nf = n_iters * B
+    # whole-pipeline cost (propagate + predict + memory update), per frame.
+    # Analyzed on a SINGLE-frame program: XLA cost analysis counts a while
+    # body once regardless of trip count, so analyzing run_clip and dividing
+    # by n_iters under-reports flops by 60x (verified vs the profiler's
+    # per-op model_flops: 138.5 GF/frame, not 2.3).
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def one_frame(params, st, frame):
+        logits, st = engine._propagate(params, st, frame)
+        pred = engine.predict_mask(logits, out_size)
+        st = engine._update_memory(params, st, pred)
+        return st, pred[:, ::64, ::64]
+    p_spec, st_spec, clip_spec = spec
+    frame_spec = jax.ShapeDtypeStruct(clip_spec.shape[1:], clip_spec.dtype)
+    ca = _cost_analysis(one_frame, p_spec, st_spec, frame_spec)
     per_frame = {
-        'flops': (float(ca['flops']) / nf) if ca.get('flops') else None,
-        'bytes': (float(ca['bytes accessed']) / nf)
+        'flops': (float(ca['flops']) / B) if ca.get('flops') else None,
+        'bytes': (float(ca['bytes accessed']) / B)
                  if ca.get('bytes accessed') else None,
     }
     return n_iters * B / dt, state, per_frame
@@ -294,9 +305,9 @@ def main(streams: int = 1, full: bool = True,
         except Exception:
             pass
 
-    # roofline: at 2.3 GFLOP/frame the workload is HBM-bound, not
-    # MXU-bound, so utilization vs the measured streaming ceiling is the
-    # honest "how close to speed-of-light" number
+    # roofline: bytes-accessed counts every op's operand/output traffic
+    # (VMEM hits included), so the utilization below is an upper bound on
+    # true HBM pressure; together with MFU it brackets speed-of-light
     if per_frame['bytes']:
         gbps = per_frame['bytes'] * fps / 1e9
         record['hbm_gb_per_frame'] = round(per_frame['bytes'] / 1e9, 3)

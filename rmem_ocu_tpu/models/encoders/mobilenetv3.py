@@ -8,6 +8,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from rmem_ocu_tpu.ops.layers import make_bn
+from rmem_ocu_tpu.ops.s2d import S2DConv
 
 
 def _make_divisible(v, divisor=8):
@@ -104,7 +105,7 @@ class MobileNetV3Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         input_channel = _make_divisible(16 * self.width_mult)
-        x = nn.Conv(input_channel, (3, 3), strides=2, padding=1,
+        x = S2DConv(input_channel, (3, 3), strides=2, padding=1,
                     use_bias=False, name='stem')(x)
         x = make_bn(input_channel, self.frozen_bn, 'stem_bn')(x)
         x = h_swish(x)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from rmem_ocu_tpu.ops.layers import make_bn
+from rmem_ocu_tpu.ops.s2d import S2DConv
 
 
 class SplAtConv2d(nn.Module):
@@ -129,7 +130,7 @@ class ResNeStEncoder(nn.Module):
         """x: [B, H, W, 3] -> [4x(256), 8x(512), 16x(1024), 16x(1024)]."""
         sw = self.stem_width if self.layers[2] == 6 else 64
         # deep stem (reference resnet.py:232-252)
-        x = nn.Conv(sw, (3, 3), strides=2, padding=1, use_bias=False,
+        x = S2DConv(sw, (3, 3), strides=2, padding=1, use_bias=False,
                     name='stem_conv1')(x)
         x = make_bn(sw, self.frozen_bn, 'stem_bn1')(x)
         x = nn.relu(x)

@@ -9,6 +9,7 @@ from typing import Tuple
 import flax.linen as nn
 
 from rmem_ocu_tpu.ops.layers import make_bn
+from rmem_ocu_tpu.ops.s2d import S2DConv
 
 
 class Bottleneck(nn.Module):
@@ -51,7 +52,10 @@ class ResNetEncoder(nn.Module):
         strides = (1, 2, 2)
         dilations = (1, 1, 1) if self.output_stride == 16 else (1, 2, 4)
 
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+        # space-to-depth stem: a strided 3-channel 7x7 runs at ~3.8 TF/s
+        # on the MXU; the s2d-equivalent unstrided conv is ~10x faster
+        # (same params/math, see ops/s2d.py)
+        x = S2DConv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     name='conv1')(x)
         x = make_bn(64, self.frozen_bn, 'bn1')(x)
         x = nn.relu(x)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from rmem_ocu_tpu.models.encoders.resnet import Bottleneck
 from rmem_ocu_tpu.ops.layers import make_bn
+from rmem_ocu_tpu.ops.s2d import S2DConv
 from rmem_ocu_tpu.ops.resize import interpolate_bilinear
 
 
@@ -49,7 +50,7 @@ class ResNetTopDownEncoder(nn.Module):
     frozen_bn: bool = True
 
     def setup(self):
-        self.stem_conv = nn.Conv(64, (7, 7), strides=2, padding=3,
+        self.stem_conv = S2DConv(64, (7, 7), strides=2, padding=3,
                                  use_bias=False, name='conv1')
         self.stem_bn = make_bn(64, self.frozen_bn, 'bn1')
         blocks = []

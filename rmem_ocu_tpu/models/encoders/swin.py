@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rmem_ocu_tpu.ops.layers import EPS
+from rmem_ocu_tpu.ops.s2d import S2DConv
 
 
 @functools.lru_cache(maxsize=32)
@@ -165,7 +166,8 @@ class SwinEncoder(nn.Module):
         pad_r = (p - x.shape[2] % p) % p
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        x = nn.Conv(self.embed_dim, (p, p), strides=p, name='patch_embed')(x)
+        x = S2DConv(self.embed_dim, (p, p), strides=p,
+                    name='patch_embed')(x)
         h, w = x.shape[1], x.shape[2]
         x = x.reshape(b, h * w, self.embed_dim)
         x = nn.LayerNorm(epsilon=EPS, name='patch_norm')(x)

@@ -18,6 +18,7 @@ from rmem_ocu_tpu.models.encoders import build_encoder
 from rmem_ocu_tpu.models.gpm import GPMStack
 from rmem_ocu_tpu.models.lstt import LSTTStack
 from rmem_ocu_tpu.ops.layers import EPS, tokens_from_2d
+from rmem_ocu_tpu.ops.s2d import S2DConv
 from rmem_ocu_tpu.ops.position import sine_position_embedding
 
 
@@ -78,7 +79,10 @@ class VOSModel(nn.Module):
         # (reference aot.py:170-177)
         k = 17 if cfg.align_corners else 16
         pad = 8 if cfg.align_corners else 0
-        self.patch_wise_id_bank = nn.Conv(
+        # space-to-depth: a 17x17/s16 conv on the 12-channel one-hot costs
+        # ~520 us/frame at 480p (layout copies + 3-way conv split); the
+        # s2d 2x2 block conv is one MXU matmul (same params, ops/s2d.py)
+        self.patch_wise_id_bank = S2DConv(
             d, (k, k), strides=16, padding=pad,
             kernel_init=nn.initializers.orthogonal(scale=k ** -2,
                                                    column_axis=-1),
