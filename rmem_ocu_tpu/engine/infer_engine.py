@@ -35,14 +35,15 @@ UNUSED_ID_LOGIT = -1e10
 class EngineState:
     bank: membank.MemoryBank
     short: membank.ShortTermMemory
-    # pending per-layer memories captured at the last propagation, stacked
-    # over layers [L, B, HW, C] (reference keeps lstt_curr_memories /
-    # lstt_short_memories on the module, transformer.py:261-265)
-    pending_long_k: jnp.ndarray
-    pending_long_v: jnp.ndarray
-    pending_short_k: jnp.ndarray
-    pending_short_v: jnp.ndarray
-    pending_id_v: Optional[jnp.ndarray]        # DeAOT curr_id_v (layer>0)
+    # pending per-layer memories captured at the last propagation, a tuple
+    # of L arrays [B, HW, C] — one buffer per layer, so no stack/slice
+    # copies (reference keeps lstt_curr_memories / lstt_short_memories on
+    # the module, transformer.py:261-265)
+    pending_long_k: membank.LayerArrays
+    pending_long_v: membank.LayerArrays
+    pending_short_k: membank.LayerArrays
+    pending_short_v: membank.LayerArrays
+    pending_id_v: Optional[membank.LayerArrays]  # DeAOT curr_id_v (layer>0)
     pending_mass: Optional[jnp.ndarray]        # [B, HW, T_cap] eviction mass
     pred_logits_4x: jnp.ndarray                # [B, H4, W4, O+1]
     frame_step: jnp.ndarray                    # scalar int32
@@ -53,8 +54,8 @@ class EngineState:
                                                # share one compilation)
     obj_nums: jnp.ndarray                      # [B]
     # GRU-compression hidden states (AOT gru_memory), else None
-    gru_hidden_k: Optional[jnp.ndarray]
-    gru_hidden_v: Optional[jnp.ndarray]
+    gru_hidden_k: Optional[membank.LayerArrays]
+    gru_hidden_v: Optional[membank.LayerArrays]
 
 
 def _mask_unused_ids(logits, obj_nums):
@@ -121,7 +122,8 @@ class InferEngine:
         ck, cv, with_id = self._dims()
         L = cfg.lstt_num
         cap = cfg.mem_bank_capacity
-        zeros = lambda c: jnp.zeros((L, batch, hw, c), dtype)
+        zeros = lambda c: tuple(jnp.zeros((batch, hw, c), dtype)
+                                for _ in range(L))
         h4 = 4 * size_2d[0] - 3 if cfg.align_corners else 4 * size_2d[0]
         w4 = 4 * size_2d[1] - 3 if cfg.align_corners else 4 * size_2d[1]
         gru = cfg.gru_memory and cfg.vos == 'aot'
@@ -194,9 +196,11 @@ class InferEngine:
             pending_mass=(None if state.pending_mass is None
                           else jnp.zeros_like(state.pending_mass)),
             gru_hidden_k=(None if state.gru_hidden_k is None
-                          else jnp.zeros_like(state.gru_hidden_k)),
+                          else membank._map(jnp.zeros_like,
+                                            state.gru_hidden_k)),
             gru_hidden_v=(None if state.gru_hidden_v is None
-                          else jnp.zeros_like(state.gru_hidden_v)))
+                          else membank._map(jnp.zeros_like,
+                                            state.gru_hidden_v)))
         img = img.astype(self.dtype)
         # USE_MASK models condition the reference-frame encoder on the GT
         # label too (reference add_reference_frame -> encode_one_img_mask
@@ -224,7 +228,7 @@ class InferEngine:
 
         # write reference frame into long + short memory
         # (reference: init_LSTT_memory, aot_engine.py:321-323)
-        stack = lambda key: jnp.stack([m[key] for m in mems], axis=0)
+        stack = lambda key: tuple(m[key] for m in mems)
         if cfg.vos == 'deaot':
             long_k = stack('curr_k')
             long_v = stack('curr_v')
@@ -279,8 +283,7 @@ class InferEngine:
         logits = self._apply(params, VOSModel.decode_id_logits, inters, xs)
         logits = _mask_unused_ids(logits, state.obj_nums)
 
-        stack = lambda key: jnp.stack(
-            [m[key] for m in mems], axis=0)
+        stack = lambda key: tuple(m[key] for m in mems)
         pend = dict(
             pending_long_k=stack('curr_k'),
             pending_long_v=stack('curr_v'),
@@ -292,10 +295,11 @@ class InferEngine:
         if cfg.vos == 'deaot':
             # layer-0 curr_id_v is None (id branch starts empty); store zeros
             # and let fuse_value_id's layer-0 path ignore it.
-            ids = [m['curr_id_v'] if m['curr_id_v'] is not None
-                   else jnp.zeros_like(mems[0]['curr_v'][..., :cfg.encoder_embedding_dim])
-                   for m in mems]
-            pend['pending_id_v'] = jnp.stack(ids, axis=0)
+            pend['pending_id_v'] = tuple(
+                m['curr_id_v'] if m['curr_id_v'] is not None
+                else jnp.zeros_like(
+                    mems[0]['curr_v'][..., :cfg.encoder_embedding_dim])
+                for m in mems)
         if need_mass:
             pend['pending_mass'] = mass
         state = state.replace(pred_logits_4x=logits, **pend)
@@ -314,7 +318,7 @@ class InferEngine:
         else:
             one_hot, ignore = mask, jnp.zeros_like(mask[..., :1])
         id_emb = self._id_emb(params, one_hot, ignore,
-                              dtype=state.bank.k.dtype)
+                              dtype=state.bank.k[0].dtype)
 
         # fuse pending memories with the id embedding
         per_layer = []
@@ -330,7 +334,7 @@ class InferEngine:
             per_layer.append(m)
         fused = self._apply(params, VOSModel.fuse_memory_values, per_layer,
                             id_emb)
-        stack = lambda key: jnp.stack([f[key] for f in fused], axis=0)
+        stack = lambda key: tuple(f[key] for f in fused)
 
         short = membank.push_short_term(
             state.short, stack('short_k'), stack('short_v'),
@@ -374,15 +378,16 @@ class InferEngine:
                 # (reference restrict_long_memories early-returns while
                 # size <= former+latter, transformer.py:332-334, and updates
                 # hidden_states only inside the is_drop branch :420-430).
-                take = lambda arr: jax.vmap(lambda a, d: a[:, d],
-                                            in_axes=(1, 0), out_axes=1)(
-                    arr, drop_idx)
+                take = lambda arrs: tuple(
+                    jax.vmap(lambda a, d: a[d])(arr, drop_idx)
+                    for arr in arrs)
                 (ck_, cv_), (gh_k_new, gh_v_new) = self._apply(
                     params, VOSModel.compress_evicted_slots, take(bank.k),
                     take(bank.v), gh_k, gh_v, size_2d)
-                sel = over[None, :, None, None]
-                gh_k = jnp.where(sel, gh_k_new, gh_k)
-                gh_v = jnp.where(sel, gh_v_new, gh_v)
+                sel = over[:, None, None]
+                pick = lambda new, old: jnp.where(sel, new, old)
+                gh_k = membank._map(pick, gh_k_new, gh_k)
+                gh_v = membank._map(pick, gh_v_new, gh_v)
                 compressed = (ck_, cv_, None)
 
             bank = membank.evict_frame(bank, drop_idx, enabled=over,

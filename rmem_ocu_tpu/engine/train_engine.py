@@ -294,7 +294,7 @@ class TrainEngine:
                            axis=-1).astype(jnp.int32)
         iou0 = batched_iou(pred0, masks[:, 0], obj_nums, cfg.max_obj_num)
 
-        stack = lambda ms, key: jnp.stack([m[key] for m in ms], axis=0)
+        stack = lambda ms, key: tuple(m[key] for m in ms)
         if cfg.vos == 'deaot':
             long_k0 = stack(mems0, 'curr_k')
             long_v0 = stack(mems0, 'curr_v')
@@ -378,7 +378,7 @@ class TrainEngine:
                 per_layer.append(m)
             fused = self.model.apply(params, per_layer, id_emb, rngs=rngs,
                                      method=VOSModel.fuse_memory_values)
-            fstack = lambda key: jnp.stack([f[key] for f in fused], axis=0)
+            fstack = lambda key: tuple(f[key] for f in fused)
             new_short = membank.push_short_term(
                 carry.short, fstack('short_k'), fstack('short_v'),
                 fstack('short_id_v') if cfg.vos == 'deaot' else None)
@@ -421,13 +421,14 @@ class TrainEngine:
                     carry.first_short, new_short)
 
                 def reverse_loss(_):
-                    outer_k = new_bank.k[:, :, 1:]
-                    outer_v = new_bank.v[:, :, 1:]
+                    outer_k = tuple(a[:, 1:] for a in new_bank.k)
+                    outer_v = tuple(a[:, 1:] for a in new_bank.v)
                     outer_len = jnp.maximum(new_bank.length - 1, 1)
                     k0, v0, _ = first_short.read()
                     tpe_r = self._temporal_pe(params, outer_len, cap=cap)
                     if tpe_r is not None:
-                        tpe_r = (tpe_r[0], tpe_r[1][:, :outer_k.shape[2]])
+                        tpe_r = (tpe_r[0],
+                                 tpe_r[1][:, :outer_k[0].shape[1]])
                     inters_r, _, _ = lstt_step(
                         params, xs[-1][:, 0], (outer_k, outer_v, outer_len),
                         (k0, v0), None, tpe_r)

@@ -15,23 +15,35 @@ XLA needs static shapes, so the bank here is a fixed-capacity, *ordered* ring:
   frame index never re-enters the bank after eviction, per-slot arrays are
   exactly equivalent.
 
-All arrays carry a leading layer axis L and a batch axis B so one bank serves
-the whole LSTT/GPM stack and batched multi-stream serving.
+K/V/id_V are stored as a TUPLE of per-layer arrays [B, T_cap, HW, C] (one
+buffer per LSTT/GPM layer) rather than one stacked [L, ...] array: each
+layer reads and writes its own slot buffer, so XLA never emits the
+per-layer slice/stack copies a stacked layout forces (measured ~150 us per
+480p frame on v5e), and while/cond carries alias layer buffers in place.
+The batch axis stays inside each buffer for batched multi-stream serving.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 
+# per-layer tuple of [B, T, HW, C] arrays
+LayerArrays = Tuple[jnp.ndarray, ...]
+
+
+def _map(fn, *tuples):
+    """Map fn over parallel per-layer tuples."""
+    return tuple(fn(*xs) for xs in zip(*tuples))
+
 
 @flax.struct.dataclass
 class MemoryBank:
-    k: jnp.ndarray                      # [L, B, T_cap, HW, Ck]
-    v: jnp.ndarray                      # [L, B, T_cap, HW, Cv]
-    id_v: Optional[jnp.ndarray]         # [L, B, T_cap, HW, Cv] (DeAOT) | None
+    k: LayerArrays                      # L x [B, T_cap, HW, Ck]
+    v: LayerArrays                      # L x [B, T_cap, HW, Cv]
+    id_v: Optional[LayerArrays]         # L x [B, T_cap, HW, Cv] (DeAOT)|None
     length: jnp.ndarray                 # [B] int32 live length
     frame_ids: jnp.ndarray              # [B, T_cap] int32 (-1 = empty)
     attn_ema: jnp.ndarray               # [B, T_cap] f32 usage moving-mean
@@ -40,29 +52,32 @@ class MemoryBank:
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1]
 
 
 @flax.struct.dataclass
 class ShortTermMemory:
     """Sliding window of the last `skip` frames' K/V; the *oldest* entry in
     the window is what attention reads (reference transformer.py:293-299)."""
-    k: jnp.ndarray                      # [L, B, S, HW, Ck]
-    v: jnp.ndarray                      # [L, B, S, HW, Cv]
-    id_v: Optional[jnp.ndarray]
+    k: LayerArrays                      # L x [B, S, HW, Ck]
+    v: LayerArrays                      # L x [B, S, HW, Cv]
+    id_v: Optional[LayerArrays]
     count: jnp.ndarray                  # [B] int32, frames pushed so far
 
     def read(self):
         """Oldest live entry = slot 0 once the window is full; before that
         the list is shorter than `skip`, and slot 0 is still the oldest."""
-        return (self.k[:, :, 0], self.v[:, :, 0],
-                None if self.id_v is None else self.id_v[:, :, 0])
+        return (tuple(k[:, 0] for k in self.k),
+                tuple(v[:, 0] for v in self.v),
+                None if self.id_v is None
+                else tuple(i[:, 0] for i in self.id_v))
 
 
 def init_bank(num_layers: int, batch: int, capacity: int, hw: int,
               ck: int, cv: int, with_id: bool,
               dtype=jnp.float32) -> MemoryBank:
-    zeros = lambda c: jnp.zeros((num_layers, batch, capacity, hw, c), dtype)
+    zeros = lambda c: tuple(jnp.zeros((batch, capacity, hw, c), dtype)
+                            for _ in range(num_layers))
     return MemoryBank(
         k=zeros(ck), v=zeros(cv), id_v=zeros(cv) if with_id else None,
         length=jnp.zeros((batch,), jnp.int32),
@@ -82,7 +97,7 @@ def reset_bank(bank: MemoryBank) -> MemoryBank:
     stored_frame_times (transformer.py:438-453).
     """
     new_fields = dict(
-        k=jnp.zeros_like(bank.k), v=jnp.zeros_like(bank.v),
+        k=_map(jnp.zeros_like, bank.k), v=_map(jnp.zeros_like, bank.v),
         length=jnp.zeros_like(bank.length),
         frame_ids=jnp.full_like(bank.frame_ids, -1),
         attn_ema=jnp.zeros_like(bank.attn_ema),
@@ -90,38 +105,38 @@ def reset_bank(bank: MemoryBank) -> MemoryBank:
         visits=jnp.zeros_like(bank.visits),
     )
     if bank.id_v is not None:
-        new_fields['id_v'] = jnp.zeros_like(bank.id_v)
+        new_fields['id_v'] = _map(jnp.zeros_like, bank.id_v)
     return bank.replace(**new_fields)
 
 
 def reset_short_term(short: ShortTermMemory) -> ShortTermMemory:
     """Empty the short-term window (reference transformer.py:439-441 resets
     short_term_memories_list to just the new reference frame)."""
-    new_fields = dict(k=jnp.zeros_like(short.k), v=jnp.zeros_like(short.v),
+    new_fields = dict(k=_map(jnp.zeros_like, short.k),
+                      v=_map(jnp.zeros_like, short.v),
                       count=jnp.zeros_like(short.count))
     if short.id_v is not None:
-        new_fields['id_v'] = jnp.zeros_like(short.id_v)
+        new_fields['id_v'] = _map(jnp.zeros_like, short.id_v)
     return short.replace(**new_fields)
 
 
 def _write_slot(bank_arr, new, idx):
-    """bank_arr: [L, B, T, HW, C]; new: [L, B, HW, C]; idx: [B]."""
+    """bank_arr: [B, T, HW, C]; new: [B, HW, C]; idx: [B]."""
     new = new.astype(bank_arr.dtype)
 
     def per_batch(arr_b, new_b, i):
-        # arr_b: [L, T, HW, C]
-        return jax.lax.dynamic_update_slice_in_dim(arr_b, new_b[:, None],
-                                                   i, axis=1)
-    return jax.vmap(per_batch, in_axes=(1, 1, 0), out_axes=1)(
-        bank_arr, new, idx)
+        # arr_b: [T, HW, C]
+        return jax.lax.dynamic_update_slice_in_dim(arr_b, new_b[None],
+                                                   i, axis=0)
+    return jax.vmap(per_batch)(bank_arr, new, idx)
 
 
 def append_frame(bank: MemoryBank, new_k, new_v, new_id_v,
                  frame_idx) -> MemoryBank:
     """Write the new frame at slot `length`, bump length.
 
-    new_k/new_v/new_id_v: [L, B, HW, C]; frame_idx: scalar or [B] int32.
-    Reference: transformer.py:306-322 (torch.cat on dim 0).
+    new_k/new_v/new_id_v: per-layer tuples of [B, HW, C]; frame_idx: scalar
+    or [B] int32. Reference: transformer.py:306-322 (torch.cat on dim 0).
 
     Capacity invariant: callers must keep length < capacity before an
     append. The two append sites guarantee it — the long-term write path
@@ -134,9 +149,10 @@ def append_frame(bank: MemoryBank, new_k, new_v, new_id_v,
     frame_idx = jnp.broadcast_to(jnp.asarray(frame_idx, jnp.int32),
                                  bank.length.shape)
     idx = jnp.minimum(bank.length, bank.capacity - 1)
+    write = lambda arr, new: _write_slot(arr, new, idx)
     new_fields = dict(
-        k=_write_slot(bank.k, new_k, idx),
-        v=_write_slot(bank.v, new_v, idx),
+        k=_map(write, bank.k, new_k),
+        v=_map(write, bank.v, new_v),
         length=jnp.minimum(bank.length + 1, bank.capacity),
         frame_ids=jax.vmap(lambda f, i, fi: f.at[i].set(fi))(
             bank.frame_ids, idx, frame_idx),
@@ -146,29 +162,23 @@ def append_frame(bank: MemoryBank, new_k, new_v, new_id_v,
         visits=jax.vmap(lambda a, i: a.at[i].set(0.0))(bank.visits, idx),
     )
     if bank.id_v is not None:
-        new_fields['id_v'] = _write_slot(bank.id_v, new_id_v, idx)
+        new_fields['id_v'] = _map(write, bank.id_v, new_id_v)
     return bank.replace(**new_fields)
 
 
 def _shift_gather(arr, drop_idx, enabled):
     """Remove slot drop_idx by shifting the tail left (per batch, no-op where
-    not enabled). arr: [L, B, T, ...] or [B, T, ...]; drop_idx/enabled: [B]."""
-    # batch axis is 1 for [L, B, T, ...], 0 for [B, T]
-    cap = arr.shape[2] if arr.ndim >= 3 else arr.shape[1]
+    not enabled). arr: [B, T, ...]; drop_idx/enabled: [B]."""
+    cap = arr.shape[1]
 
     def per_batch(a, d, en):
-        # a: [..., T, ...] with T at axis (1 if from 5D else 0)
-        t_ax = 1 if a.ndim >= 3 else 0
+        # a: [T, ...]
         t = jnp.arange(cap)
         shift = ((t >= d) & en).astype(jnp.int32)
         idx = jnp.minimum(t + shift, cap - 1)
-        return jnp.take(a, idx, axis=t_ax)
+        return jnp.take(a, idx, axis=0)
 
-    if arr.ndim >= 3:
-        return jax.vmap(per_batch, in_axes=(1, 0, 0), out_axes=1)(
-            arr, drop_idx, enabled)
-    return jax.vmap(per_batch, in_axes=(0, 0, 0), out_axes=0)(
-        arr, drop_idx, enabled)
+    return jax.vmap(per_batch)(arr, drop_idx, enabled)
 
 
 def evict_frame(bank: MemoryBank, drop_idx, enabled=None,
@@ -176,34 +186,35 @@ def evict_frame(bank: MemoryBank, drop_idx, enabled=None,
     """Drop slot drop_idx ([B] int32), preserving order; per-batch no-op
     where `enabled` ([B] bool) is False.
 
-    compressed_kv: optional (k1, v1, id_v1) each [L, B, HW, C] written into
-    slot 1 after the shift (ConvGRU compression, reference
+    compressed_kv: optional (k1, v1, id_v1) per-layer tuples of [B, HW, C]
+    written into slot 1 after the shift (ConvGRU compression, reference
     transformer.py:420-430 writes the GRU output over slot 1).
     Reference: transformer.py:432-434 (torch.cat of the two halves).
     """
     if enabled is None:
         enabled = jnp.ones_like(drop_idx, dtype=bool)
+    shift = lambda arr: _shift_gather(arr, drop_idx, enabled)
     new_fields = dict(
-        k=_shift_gather(bank.k, drop_idx, enabled),
-        v=_shift_gather(bank.v, drop_idx, enabled),
+        k=_map(shift, bank.k),
+        v=_map(shift, bank.v),
         length=jnp.where(enabled, jnp.maximum(bank.length - 1, 0),
                          bank.length),
-        frame_ids=_shift_gather(bank.frame_ids, drop_idx, enabled),
-        attn_ema=_shift_gather(bank.attn_ema, drop_idx, enabled),
-        ema_present=_shift_gather(bank.ema_present, drop_idx, enabled),
-        visits=_shift_gather(bank.visits, drop_idx, enabled),
+        frame_ids=shift(bank.frame_ids),
+        attn_ema=shift(bank.attn_ema),
+        ema_present=shift(bank.ema_present),
+        visits=shift(bank.visits),
     )
     if bank.id_v is not None:
-        new_fields['id_v'] = _shift_gather(bank.id_v, drop_idx, enabled)
+        new_fields['id_v'] = _map(shift, bank.id_v)
     bank = bank.replace(**new_fields)
     if compressed_kv is not None:
         k1, v1, idv1 = compressed_kv
         ones = jnp.ones_like(drop_idx)
-        k_new = _write_slot(bank.k, k1, ones)
-        v_new = _write_slot(bank.v, v1, ones)
-        sel = enabled.reshape(1, -1, 1, 1, 1)
-        bank = bank.replace(k=jnp.where(sel, k_new, bank.k),
-                            v=jnp.where(sel, v_new, bank.v))
+        sel = enabled.reshape(-1, 1, 1, 1)
+        put = lambda arr, new: jnp.where(sel, _write_slot(arr, new, ones),
+                                         arr)
+        bank = bank.replace(k=_map(put, bank.k, k1),
+                            v=_map(put, bank.v, v1))
     return bank
 
 
@@ -297,42 +308,46 @@ def push_short_term(short: ShortTermMemory, new_k, new_v,
                     new_id_v) -> ShortTermMemory:
     """Append to the sliding window, dropping the oldest if full.
 
+    new_k/new_v/new_id_v: per-layer tuples of [B, HW, C].
     Reference: transformer.py:293-299 (python list slicing [-skip:]).
     """
-    s = short.k.shape[2]
-    new_k = new_k.astype(short.k.dtype)
-    new_v = new_v.astype(short.v.dtype)
+    s = short.k[0].shape[1]
+    cast = lambda a, n: n.astype(a.dtype)
+    new_k = _map(cast, short.k, new_k)
+    new_v = _map(cast, short.v, new_v)
     if new_id_v is not None and short.id_v is not None:
-        new_id_v = new_id_v.astype(short.id_v.dtype)
+        new_id_v = _map(cast, short.id_v, new_id_v)
     if s == 1:
-        new_fields = dict(k=new_k[:, :, None], v=new_v[:, :, None],
+        new_fields = dict(k=_map(lambda n: n[:, None], new_k),
+                          v=_map(lambda n: n[:, None], new_v),
                           count=short.count + 1)
         if short.id_v is not None:
-            new_fields['id_v'] = new_id_v[:, :, None]
+            new_fields['id_v'] = _map(lambda n: n[:, None], new_id_v)
         return short.replace(**new_fields)
 
     def push(arr, new):
         # while count < s the window grows: write at `count`;
         # afterwards shift left and write at the end.
         def per_batch(a, n, c):
-            shifted = jnp.concatenate([a[:, 1:], n[:, None]], axis=1)
+            shifted = jnp.concatenate([a[1:], n[None]], axis=0)
             grown = jax.lax.dynamic_update_slice_in_dim(
-                a, n[:, None], jnp.minimum(c, s - 1), axis=1)
+                a, n[None], jnp.minimum(c, s - 1), axis=0)
             return jnp.where(c >= s, shifted, grown)
-        return jax.vmap(per_batch, in_axes=(1, 1, 0), out_axes=1)(
-            arr, new, short.count)
+        return jax.vmap(per_batch, in_axes=(0, 0, 0))(arr, new, short.count)
 
-    new_fields = dict(k=push(short.k, new_k), v=push(short.v, new_v),
+    new_fields = dict(k=_map(push, short.k, new_k),
+                      v=_map(push, short.v, new_v),
                       count=short.count + 1)
     if short.id_v is not None:
-        new_fields['id_v'] = push(short.id_v, new_id_v)
+        new_fields['id_v'] = _map(push, short.id_v, new_id_v)
     return short.replace(**new_fields)
 
 
 def init_short_term(num_layers: int, batch: int, skip: int, hw: int,
                     ck: int, cv: int, with_id: bool,
                     dtype=jnp.float32) -> ShortTermMemory:
-    zeros = lambda c: jnp.zeros((num_layers, batch, skip, hw, c), dtype)
+    zeros = lambda c: tuple(jnp.zeros((batch, skip, hw, c), dtype)
+                            for _ in range(num_layers))
     return ShortTermMemory(k=zeros(ck), v=zeros(cv),
                            id_v=zeros(cv) if with_id else None,
                            count=jnp.zeros((batch,), jnp.int32))

@@ -227,8 +227,9 @@ class LSTTStack(nn.Module):
     def __call__(self, tgt, long_mem, short_mem, curr_id_emb, self_pos,
                  size_2d, temporal_pe, need_mass: bool = False,
                  deterministic: bool = True):
-        """long_mem: None or (k [L,B,T,HW,C], v [L,B,T,HW,C], length [B]).
-        short_mem: None or (k [L,B,HW,C], v [L,B,HW,C]).
+        """long_mem: None or (k, v, length) where k/v are per-layer tuples
+        of [B,T,HW,C] and length is [B].
+        short_mem: None or per-layer tuples (k, v) of [B,HW,C].
         Returns (intermediates list, per-layer memories, layer0 mass)."""
         if self.emb_dropout > 0.0 and not deterministic:
             keep = 1.0 - self.emb_dropout

@@ -209,8 +209,8 @@ class VOSModel(nn.Module):
             outs_v.append(ov)
             hks.append(hk)
             hvs.append(hv)
-        stack = lambda xs: jnp.stack(xs, axis=0)
-        return (stack(outs_k), stack(outs_v)), (stack(hks), stack(hvs))
+        return ((tuple(outs_k), tuple(outs_v)),
+                (tuple(hks), tuple(hvs)))
 
     def __call__(self, img, one_hot_mask_ref):
         """Initialization-only path: touches every submodule so

@@ -38,7 +38,7 @@ def test_gru_memory_compression():
                                     jnp.float32))
         st = eng.update_memory(params, st, eng.predict_mask(lg,
                                                             (SIZE, SIZE)))
-        norms.append(float(jnp.linalg.norm(st.gru_hidden_k)))
+        norms.append(float(jnp.linalg.norm(jnp.stack(st.gru_hidden_k))))
     assert int(st.bank.length[0]) == 3          # 1 former + 2 latter
     # the first eviction (and first GRU update) happens once the bank
     # exceeds budget, so the norm starts at 0 and then evolves

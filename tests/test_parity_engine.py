@@ -117,7 +117,7 @@ def test_streaming_engine_parity_gru_memory(capsys):
         t_mem_k = teng.AOT.LSTT.long_term_memories[0][0]
         want_k = t_mem_k.permute(0, 2, 1, 3).numpy()[:, 0]
         np.testing.assert_allclose(
-            np.asarray(st.bank.k[0, 0, :t_len]), want_k,
+            np.asarray(st.bank.k[0][0, :t_len]), want_k,
             rtol=5e-3, atol=5e-3, err_msg=f'bank K diverged frame {t}')
 
 
