@@ -100,6 +100,59 @@ def _lowered_flops(jit_fn, *args):
     return float(ca.get('flops', 0.0)) or None
 
 
+def _train_flops_exact(model_name, batch, seq, size, remat, amp,
+                       params_spec, rng_spec):
+    """True fwd+bwd FLOPs of one recipe train step.
+
+    XLA cost analysis counts a `lax.scan`/while body ONCE regardless of
+    trip count, so analyzing the jitted train step under-reports the
+    (seq-1)-frame episode by ~the trip count. Recover the real total from
+    two lowerings that differ only in scan unroll: with unroll=u the body
+    is inlined u times, so f(u) - f(1) = (u-1) * body_flops and
+    total = f(1) + (trip-1) * body_flops. Lowered for CPU — HLO cost
+    analysis is backend-independent and the axon plugin returns None from
+    Lowered.cost_analysis(), which would force a full device compile.
+    Optimizer/EMA flops are excluded (a few elementwise ops per param,
+    ~1e-4 of the episode)."""
+    import jax
+    import jax.numpy as jnp
+    from rmem_ocu_tpu.config import get_config
+    from rmem_ocu_tpu.engine.train_engine import TrainEngine
+    from rmem_ocu_tpu.models import build_vos_model
+
+    trip = seq - 1
+    u_hi = 2 if trip % 2 == 0 else trip
+    frames = jax.ShapeDtypeStruct((batch, seq, size, size, 3), jnp.float32)
+    masks = jax.ShapeDtypeStruct((batch, seq, size, size), jnp.int32)
+    obj = jax.ShapeDtypeStruct((batch,), jnp.int32)
+
+    def flops_at(unroll):
+        exp = get_config('pre_vost', model=model_name, datasets=('test',),
+                         train_batch_size=batch, data_seq_len=seq,
+                         data_randomcrop=(size, size),
+                         train_remat_policy=remat, train_amp=amp,
+                         train_scan_unroll=unroll)
+        eng = TrainEngine(build_vos_model(exp.model, exp), exp)
+
+        def loss_grad(p, f, m, o, rng):
+            return jax.value_and_grad(
+                lambda q: eng.episode_loss(q, f, m, o, 0, rng)[0])(p)
+
+        with jax.default_device(jax.devices('cpu')[0]):
+            low = jax.jit(loss_grad).lower(params_spec, frames, masks, obj,
+                                           rng_spec)
+            ca = low.cost_analysis()
+            if not ca or not ca.get('flops'):
+                ca = low.compile().cost_analysis()
+        return float(ca['flops'])
+
+    f1 = flops_at(1)
+    if u_hi == 1:
+        return f1
+    body = (flops_at(u_hi) - f1) / (u_hi - 1)
+    return f1 + (trip - 1) * body
+
+
 def _measure_hbm_bandwidth(mb=512, short=4, long=24):
     """Measured HBM streaming ceiling on THIS chip: chained big-vector
     copies (read+write one buffer per iter) under one scan dispatch,
@@ -305,17 +358,19 @@ def main(streams: int = 1, full: bool = True,
         except Exception:
             pass
 
-    # roofline: bytes-accessed counts every op's operand/output traffic
-    # (VMEM hits included), so the utilization below is an upper bound on
-    # true HBM pressure; together with MFU it brackets speed-of-light
+    # roofline: cost analysis' bytes-accessed counts every op's
+    # operand/output traffic including VMEM-resident reuse inside fusions,
+    # so it OVERCOUNTS true HBM traffic (the ratio below can exceed 1.0);
+    # it is an upper bound that, together with MFU, brackets speed-of-light
     if per_frame['bytes']:
         gbps = per_frame['bytes'] * fps / 1e9
-        record['hbm_gb_per_frame'] = round(per_frame['bytes'] / 1e9, 3)
-        record['achieved_hbm_gbps'] = round(gbps, 1)
+        record['bytes_accessed_gb_per_frame'] = round(
+            per_frame['bytes'] / 1e9, 3)
+        record['bytes_accessed_gbps'] = round(gbps, 1)
         try:
             bw = _measure_hbm_bandwidth()
             record['measured_hbm_peak_gbps'] = round(bw, 1)
-            record['hbm_utilization'] = round(gbps / bw, 3)
+            record['bytes_accessed_vs_hbm_peak'] = round(gbps / bw, 3)
         except Exception:
             pass
 
@@ -410,16 +465,27 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
             record['peak_hbm_mb'] = round(peak / 2.0 ** 20)
     except Exception:
         pass
-    jitted = next(iter(trainer._train_step_cache.values()), None)
-    if jitted is not None:
-        flops = _lowered_flops(jitted, state, b['frames'], b['masks'],
-                               b['obj_nums'], rng)
-        if flops:
-            achieved_tf = flops / step_s / 1e12
-            record['flops_per_step'] = round(flops / 1e12, 3)  # TFLOP
-            record['achieved_tflops'] = round(achieved_tf, 3)
-            record['mfu_vs_v5e_nominal'] = round(
-                achieved_tf / V5E_NOMINAL_BF16_TFLOPS, 5)
+    try:
+        p_spec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.params)
+        rng_spec = jax.ShapeDtypeStruct(rng.shape, rng.dtype)
+        flops = _train_flops_exact(model_name, batch, seq, size, remat,
+                                   amp, p_spec, rng_spec)
+    except Exception as e:                        # pragma: no cover
+        flops = None
+        record['flops_error'] = str(e)[:200]
+    if flops:
+        achieved_tf = flops / step_s / 1e12
+        record['flops_per_step'] = round(flops / 1e12, 3)  # TFLOP, fwd+bwd
+        record['achieved_tflops'] = round(achieved_tf, 3)
+        record['mfu_vs_v5e_nominal'] = round(
+            achieved_tf / V5E_NOMINAL_BF16_TFLOPS, 5)
+        try:
+            peak = _measure_peak_tflops()
+            record['measured_peak_tflops'] = round(peak, 2)
+            record['mfu_vs_measured_peak'] = round(achieved_tf / peak, 4)
+        except Exception:
+            pass
     print(json.dumps(record))
 
 

@@ -214,6 +214,13 @@ class ExpConfig:
     # the optimizer chain stay float32); losses reduce in float32; no loss
     # scaling needed for bf16's fp32-sized exponent.
     train_amp: bool = False
+    # lax.scan unroll factor for the per-frame episode loop (TPU-native
+    # knob): >1 inlines that many scan bodies per while-iteration. Used by
+    # bench.py's FLOPs accounting (XLA cost analysis counts a while body
+    # once regardless of trip count, so the true episode FLOPs are
+    # recovered from the unroll=1 vs unroll=2 lowering difference); can
+    # also trade compile time for less loop overhead on real runs.
+    train_scan_unroll: int = 1
 
     # --- eval ---
     test_dataset: str = 'youtubevos'

@@ -468,7 +468,8 @@ class TrainEngine:
             jnp.moveaxis(masks[:, 1:], 1, 0),
         )
         carry, (frame_losses, rev_losses, rev_fired, frame_ious) = \
-            jax.lax.scan(self._remat(step_fn), carry, xs_scan)
+            jax.lax.scan(self._remat(step_fn), carry, xs_scan,
+                         unroll=getattr(exp, 'train_scan_unroll', 1))
 
         # loss aggregation (reference aot_engine.py:108-113): aux weight
         # decays linearly to 0 over train_aux_loss_ratio of training.
