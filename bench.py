@@ -121,7 +121,6 @@ def _train_flops_exact(model_name, batch, seq, size, remat, amp,
     from rmem_ocu_tpu.models import build_vos_model
 
     trip = seq - 1
-    u_hi = 2 if trip % 2 == 0 else trip
     frames = jax.ShapeDtypeStruct((batch, seq, size, size, 3), jnp.float32)
     masks = jax.ShapeDtypeStruct((batch, seq, size, size), jnp.int32)
     obj = jax.ShapeDtypeStruct((batch,), jnp.int32)
@@ -142,14 +141,20 @@ def _train_flops_exact(model_name, batch, seq, size, remat, amp,
             low = jax.jit(loss_grad).lower(params_spec, frames, masks, obj,
                                            rng_spec)
             ca = low.cost_analysis()
-            if not ca or not ca.get('flops'):
+            if not ca or (not isinstance(ca, (list, tuple))
+                          and not ca.get('flops')):
                 ca = low.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
         return float(ca['flops'])
 
     f1 = flops_at(1)
-    if u_hi == 1:
+    if trip <= 1:
         return f1
-    body = (flops_at(u_hi) - f1) / (u_hi - 1)
+    # lax.scan with a non-divisible unroll emits u bodies in the while loop
+    # plus trip % u inlined remainder bodies, so the lowering at unroll=2
+    # counts 2 + trip%2 bodies vs 1 at unroll=1 (verified empirically)
+    body = (flops_at(2) - f1) / (1 + trip % 2)
     return f1 + (trip - 1) * body
 
 
@@ -284,7 +289,11 @@ def _measure_fps(engine, params, state, frames, out_size, n_iters=60):
         return st, pred[:, ::64, ::64]
     p_spec, st_spec, clip_spec = spec
     frame_spec = jax.ShapeDtypeStruct(clip_spec.shape[1:], clip_spec.dtype)
-    ca = _cost_analysis(one_frame, p_spec, st_spec, frame_spec)
+    # lower for CPU: HLO cost analysis is backend-independent, and on the
+    # axon backend Lowered.cost_analysis() returns None, which would force
+    # a 5-15 min on-device compile of this never-executed program
+    with jax.default_device(jax.devices('cpu')[0]):
+        ca = _cost_analysis(one_frame, p_spec, st_spec, frame_spec)
     per_frame = {
         'flops': (float(ca['flops']) / B) if ca.get('flops') else None,
         'bytes': (float(ca['bytes accessed']) / B)

@@ -131,8 +131,7 @@ class InferEngine:
             bank=membank.init_bank(L, batch, cap, hw, ck, cv, with_id, dtype),
             short=membank.init_short_term(L, batch, self.skip, hw, ck, cv,
                                           with_id, dtype),
-            pending_long_k=zeros(ck), pending_long_v=zeros(
-                cv if with_id else cv),
+            pending_long_k=zeros(ck), pending_long_v=zeros(cv),
             pending_short_k=zeros(ck), pending_short_v=zeros(cv),
             pending_id_v=zeros(cfg.encoder_embedding_dim) if with_id else None,
             pending_mass=jnp.zeros((batch, hw, cap), jnp.float32),

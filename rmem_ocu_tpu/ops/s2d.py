@@ -83,8 +83,12 @@ def s2d_conv(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     B, H, W, _ = x.shape
     out_h = (H + 2 * padding - kh) // s + 1
     out_w = (W + 2 * padding - kw) // s + 1
-    xb = space_to_depth(x, s)
-    wb, pb = s2d_conv_kernel(kernel.astype(x.dtype), s, padding)
+    # promote to the common dtype like nn.Conv(dtype=None): fp32 params with
+    # bf16 activations must compute (and return) fp32, not downcast the
+    # kernel to bf16
+    dt = jnp.promote_types(x.dtype, kernel.dtype)
+    xb = space_to_depth(x.astype(dt), s)
+    wb, pb = s2d_conv_kernel(kernel.astype(dt), s, padding)
     kb_h, kb_w = wb.shape[:2]
     # asymmetric (possibly negative) padding so block-conv output size
     # matches the strided conv exactly

@@ -2,16 +2,20 @@
 
 The 480p frame step on this environment's tunneled chip spends ~0.74 ms
 of its 2.78 ms on MXU work (26.8% MFU — see README roofline notes); most
-of the remainder is fixed per-kernel overhead (~30 us/kernel x ~100
-kernels), so the optimization currency for the non-compute share is
-*kernel count*. This tool compiles the exact frame-step program the
-benchmark runs (propagate -> predict_mask -> update_memory) and prints the
-top-level instruction census of the optimized HLO entry computation —
-each top-level instruction is roughly one executed kernel (fusions count
-once; parameters/tuples are free).
+of the remainder is per-kernel overhead on the *sequential* instruction
+stream, so the optimization currency for the non-compute share is
+sequential kernel count. This tool compiles the exact frame-step program
+the benchmark runs (propagate -> predict_mask -> update_memory) and
+prints the top-level instruction census of the optimized HLO entry
+computation. Async pairs (copy-start/copy-done, async-start/async-done —
+mostly HBM->VMEM parameter prefetches into the S(1) scoped space) are
+DMAs overlapped with compute and are tallied separately from the
+sequential kernels; parameters/tuples are free.
 
 Usage:
     python -m rmem_ocu_tpu.tools.hlo_census [--model r50_deaotl] [--cpu]
+(run from the repo root: it imports bench.py to reuse the benchmark's
+exact model/engine/program construction)
 """
 from __future__ import annotations
 
@@ -25,6 +29,9 @@ FREE_OPS = {
     'parameter', 'constant', 'tuple', 'get-tuple-element', 'bitcast',
     'after-all', 'iota',
 }
+
+# overlapped DMA pairs — not part of the sequential dispatch stream
+ASYNC_OPS = {'copy-start', 'copy-done', 'async-start', 'async-done'}
 
 
 def census(hlo_text: str):
@@ -48,7 +55,11 @@ def census(hlo_text: str):
         if ln.strip() == '}' and depth < 0:
             break
         s = ln.strip()
-        m = re.match(r'(?:ROOT )?([%\w.\-]+) = ([^ ]+) ([a-z\-]+)\(', s)
+        # result shape may be a tuple `(bf16[...], s32[])` (multi-output
+        # fusions, while, conditional) — match it non-greedily so those
+        # instructions are counted too
+        m = re.match(r'(?:ROOT )?([%\w.\-]+) = (\([^=]*?\)|\S+) '
+                     r'([a-z\-]+)\(', s)
         if not m:
             continue
         name, shape, op = m.groups()
@@ -68,32 +79,12 @@ def fusion_kinds(hlo_text: str):
 
 
 def _build(model_name: str):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from rmem_ocu_tpu.config import get_config
-    from rmem_ocu_tpu.engine import InferEngine
-    from rmem_ocu_tpu.models import build_vos_model
-    from rmem_ocu_tpu.utils.precision import cast_floating
-
-    exp = get_config('pre_vost_2', model=model_name,
-                     compute_dtype='bfloat16')
-    cfg = exp.model
-    H, W = (353, 625) if cfg.align_corners else (352, 624)
-    model = build_vos_model(cfg)
-    rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.randn(1, H, W, 3), jnp.float32)
-    mask = jnp.asarray((rng.rand(1, H, W) * 4).astype(np.int32))
-    params = model.init(jax.random.PRNGKey(0), img,
-                        jnp.zeros((1, H, W, cfg.id_dim)))
-    params = cast_floating(params, jnp.bfloat16)
-    engine = InferEngine(model, exp, long_term_mem_gap=5)
-    if cfg.align_corners:
-        h16, w16 = (H - 1) // 16 + 1, (W - 1) // 16 + 1
-    else:
-        h16, w16 = H // 16, W // 16
-    state = engine.init_state(1, (h16, w16))
-    return engine, params, state, img, (H, W)
+    """Exactly the benchmark's model/engine/state (bench._build), so the
+    census describes the very program `python bench.py` times — a separate
+    construction here would silently desynchronize from the benchmark."""
+    import bench
+    engine, params, state, frames, out_size = bench._build(1, model_name)
+    return engine, params, state, frames[0], out_size
 
 
 def main():
@@ -115,15 +106,16 @@ def main():
     from rmem_ocu_tpu.utils.run_utils import enable_compile_cache
     enable_compile_cache()
     import jax
-    import jax.numpy as jnp
 
     engine, params, state, img, out_size = _build(args.model)
 
+    # identical body to bench.py's one_frame (the program whose cost
+    # analysis backs the README roofline numbers)
     def frame_step(params, state, frame):
         logits, state = engine._propagate(params, state, frame)
         pred = engine.predict_mask(logits, out_size)
         state = engine._update_memory(params, state, pred)
-        return jnp.sum(pred[:, ::64, ::64]), state
+        return state, pred[:, ::64, ::64]
 
     def report(name, fn, *fargs, donate=()):
         # donate_argnums matches bench.py's jits so the persistent compile
@@ -131,9 +123,13 @@ def main():
         compiled = jax.jit(fn, donate_argnums=donate).lower(*fargs).compile()
         text = compiled.as_text()
         counts, rows = census(text)
-        total = sum(counts.values())
-        print(f'\n== {name}: {total} top-level kernels ==')
+        n_async = sum(c for op, c in counts.items() if op in ASYNC_OPS)
+        total = sum(counts.values()) - n_async
+        print(f'\n== {name}: {total} sequential kernels '
+              f'(+{n_async} overlapped DMA halves) ==')
         for op, c in counts.most_common():
+            if op in ASYNC_OPS:
+                continue
             print(f'  {op:28s} {c}')
         kinds = fusion_kinds(text)
         if kinds:
