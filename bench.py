@@ -404,7 +404,8 @@ def main(streams: int = 1, full: bool = True,
 
 def main_train(batch: int = 8, seq: int = 15, size: int = 465,
                remat: str = 'full', model_name: str = 'r50_deaotl',
-               steps: int = 5, amp: bool = True, enc_chunk: int = 0):
+               steps: int = 5, amp: bool = True, enc_chunk: int = 0,
+               unroll: int = 1):
     """Recipe-scale training benchmark (VERDICT r2 #2): fwd+bwd at the
     reference's pre_vost recipe shape — global batch 8, seq len 15, 465²,
     AMP (reference train_vost.sh:3-27 passes --amp; configs/pre_vost.py:
@@ -421,7 +422,8 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
                      train_batch_size=batch, data_seq_len=seq,
                      data_randomcrop=(size, size),
                      train_remat_policy=remat, train_amp=amp,
-                     train_encoder_chunk=enc_chunk)
+                     train_encoder_chunk=enc_chunk,
+                     train_scan_unroll=unroll)
     model = build_vos_model(exp.model, exp)
     trainer = Trainer(model, exp)
 
@@ -457,7 +459,8 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
     record = {
         'metric': f'train_fps_per_chip_{model_name}_b{batch}_s{seq}_{size}'
                   + ('' if remat == 'full' else f'_{remat}')
-                  + ('_amp' if amp else ''),
+                  + ('_amp' if amp else '')
+                  + ('' if unroll == 1 else f'_u{unroll}'),
         'value': round(fps, 2),
         'unit': 'train-frames/sec',
         'vs_baseline': None,   # the reference publishes no train throughput
@@ -466,6 +469,7 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
         'remat': remat,
         'amp': amp,
         'enc_chunk': enc_chunk,
+        'unroll': unroll,
     }
     try:
         ms = jax.local_devices()[0].memory_stats() or {}
@@ -589,6 +593,8 @@ if __name__ == '__main__':
     p.add_argument('--enc_chunk', type=int, default=0,
                    help='offline-encoder chunk size (frames per lax.scan '
                         'step; 0 = monolithic batch) — train bench only')
+    p.add_argument('--unroll', type=int, default=1,
+                   help='episode scan unroll factor (train bench only)')
     p.add_argument('--remat', type=str, default='full',
                    choices=['full', 'dots', 'none'],
                    help='episode remat policy A/B (train bench only)')
@@ -613,7 +619,7 @@ if __name__ == '__main__':
         main_train(batch=args.train_batch, seq=args.train_seq,
                    size=args.train_size, remat=args.remat,
                    model_name=args.model, amp=not args.no_amp,
-                   enc_chunk=args.enc_chunk)
+                   enc_chunk=args.enc_chunk, unroll=args.unroll)
     elif args.pallas_ab:
         main_pallas_ab()
     elif args.profile:
