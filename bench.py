@@ -596,8 +596,9 @@ if __name__ == '__main__':
     p.add_argument('--unroll', type=int, default=1,
                    help='episode scan unroll factor (train bench only)')
     p.add_argument('--remat', type=str, default='full',
-                   choices=['full', 'dots', 'none'],
-                   help='episode remat policy A/B (train bench only)')
+                   help='episode remat policy A/B (train bench only): '
+                        'full | dots | none | dots_k<N> (save dot outputs '
+                        'with contraction K >= N)')
     p.add_argument('--no_amp', action='store_true',
                    help='disable bf16 mixed-precision in the train bench '
                         '(the reference recipe trains with --amp)')

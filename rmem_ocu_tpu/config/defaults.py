@@ -198,7 +198,10 @@ class ExpConfig:
     # (TPU-native knob, no reference equivalent): 'full' recomputes the
     # whole step in backward (min HBM), 'dots' saves matmul outputs with
     # no batch dims (jax.checkpoint_policies.dots_with_no_batch_dims_
-    # saveable — more HBM, fewer recomputed FLOPs), 'none' disables remat.
+    # saveable — more HBM, fewer recomputed FLOPs), 'dots_k<N>' saves only
+    # dot outputs with contraction size K >= N (K = flops/byte, so the
+    # highest-value saves first; 'dots' OOMs at recipe scale, 'dots_k1024'
+    # fits), 'none' disables remat.
     train_remat_policy: str = 'full'
     # chunk the offline encoder pass through a lax.scan over groups of
     # `train_encoder_chunk` frames (0 = one monolithic batch). The

@@ -29,6 +29,22 @@ from rmem_ocu_tpu.utils.metric import batched_iou
 UNUSED_ID_LOGIT = -1e10
 
 
+def _dots_min_contraction(min_k: int):
+    """Remat policy: save `dot_general` outputs whose total contraction
+    size K >= min_k (flops/byte of a matmul == K, so these are the most
+    recompute-expensive values per byte of HBM spent saving them)."""
+    def policy(prim, *args, **params):
+        if str(prim) != 'dot_general':
+            return False
+        (lhs_contract, _), _ = params['dimension_numbers']
+        lhs = args[0]
+        k = 1
+        for d in lhs_contract:
+            k *= lhs.shape[d]
+        return k >= min_k
+    return policy
+
+
 @flax.struct.dataclass
 class EpisodeCarry:
     bank: membank.MemoryBank
@@ -64,6 +80,15 @@ class TrainEngine:
             return jax.checkpoint(
                 fn, policy=jax.checkpoint_policies
                 .dots_with_no_batch_dims_saveable)
+        if policy.startswith('dots_k'):
+            # save only high-arithmetic-intensity dot outputs (contraction
+            # dim K >= threshold). K is exactly the flops-per-output-byte of
+            # a matmul, so this saves the dots that are most expensive to
+            # recompute per byte stored (the attention PV products, K in
+            # the thousands) while skipping the cheap wide projections that
+            # made the plain 'dots' policy OOM at recipe scale.
+            return jax.checkpoint(
+                fn, policy=_dots_min_contraction(int(policy[6:])))
         return jax.checkpoint(fn)
 
     def _dims(self):
