@@ -114,20 +114,25 @@ class GPMBlock(nn.Module):
         capacity, hw = mem_k.shape[1], mem_k.shape[2]
         if temporal_pe is not None:
             cur_pe, mem_pe = temporal_pe
-            mem_k = mem_k + mem_pe[..., :capacity, None, :]
+            mem_pe = mem_pe[..., :capacity, :]           # [B|1, T, Datt]
+            if mem_pe.ndim == 2:                         # raw [slots, C]
+                mem_pe = mem_pe[None]
             q_time = curr_q + cur_pe
         else:
-            q_time = curr_q
+            mem_pe, q_time = None, curr_q
         from rmem_ocu_tpu.ops.attention import pallas_memory_read_enabled
         # eval-only: no VJP is defined for the fused kernel
         if capacity > 1 and deterministic and pallas_memory_read_enabled():
-            cat_bank_v = jnp.concatenate([mem_v, mem_id_v], axis=-1)
+            # PE is applied to the bank keys inside the kernel (rank-1
+            # logit correction) — no full-bank (k + pe) materialization
             cat_tgt2, mass = self.long_term_attn.bank_read(
-                q_time, mem_k, cat_bank_v, cat_curr_u, length, size_2d,
-                deterministic=deterministic)
+                q_time, mem_k, mem_v, mem_id_v, cat_curr_u, length, size_2d,
+                mem_pe=mem_pe, deterministic=deterministic)
             if not need_mass:
                 mass = None
         else:
+            if mem_pe is not None:
+                mem_k = mem_k + mem_pe[:, :, None, :]
             flat_k = mem_k.reshape(b, capacity * hw, -1)
             flat_v = jnp.concatenate([
                 mem_v.reshape(b, capacity * hw, -1),

@@ -124,20 +124,24 @@ class LSTTBlock(nn.Module):
         capacity, hw = mem_k.shape[1], mem_k.shape[2]
         if temporal_pe is not None:
             cur_pe, mem_pe = temporal_pe
-            mem_k = mem_k + mem_pe[..., :capacity, None, :]
+            mem_pe = mem_pe[..., :capacity, :]           # [B|1, T, C]
+            if mem_pe.ndim == 2:                         # raw [slots, C]
+                mem_pe = mem_pe[None]
             q_time = curr_q + cur_pe
         else:
-            q_time = curr_q
+            mem_pe, q_time = None, curr_q
         from rmem_ocu_tpu.ops.attention import pallas_memory_read_enabled
         # eval-only: no VJP is defined for the fused kernel
         if capacity > 1 and deterministic and pallas_memory_read_enabled():
             # fused kernel: attention + per-slot eviction mass in one pass,
-            # empty slots skipped
+            # empty slots skipped; PE applied to keys inside the kernel
             tgt2, mass = self.long_term_attn.bank_read(
-                q_time, mem_k, mem_v, length)
+                q_time, mem_k, mem_v, length, mem_pe=mem_pe)
             if not need_mass:
                 mass = None
         else:
+            if mem_pe is not None:
+                mem_k = mem_k + mem_pe[:, :, None, :]
             flat_k = mem_k.reshape(mem_k.shape[0], capacity * hw, -1)
             flat_v = mem_v.reshape(mem_v.shape[0], capacity * hw, -1)
             bias = (None if capacity == 1

@@ -124,13 +124,16 @@ class MultiheadAttention(nn.Module):
                                           dropout_rng=drng)
         return self.projection(out), probs
 
-    def bank_read(self, q, k_bank, v_bank, length, want_mass: bool = True):
-        """Fused Pallas memory read: k_bank/v_bank [B, T, HW, C], length [B].
-        Returns (projected out, mass [B, HWq, T])."""
-        from rmem_ocu_tpu.ops.pallas.memory_read import memory_read_multihead
+    def bank_read(self, q, k_bank, v_bank, length, mem_pe=None,
+                  want_mass: bool = True):
+        """Fused Pallas memory read: k_bank/v_bank [B, T, HW, C], length [B],
+        mem_pe optional [B|1, T, C] temporal PE (applied to keys inside the
+        kernel). Returns (projected out, mass [B, HWq, T])."""
+        from rmem_ocu_tpu.ops.pallas.memory_read import memory_read_fused
         scale = (self.d_model // self.num_heads) ** -0.5
-        raw, mass = memory_read_multihead(q, k_bank, v_bank, length,
-                                          self.num_heads, scale)
+        (raw,), mass = memory_read_fused(q, k_bank, (v_bank,), length,
+                                         self.num_heads, scale,
+                                         mem_pe=mem_pe)
         return self.projection(raw.astype(q.dtype)), mass
 
 
@@ -204,14 +207,31 @@ class GatedPropagation(nn.Module):
         out = self._gate_and_project(out, u, size_2d, deterministic)
         return out, probs
 
-    def bank_read(self, q, k_bank, v_bank, u, length, size_2d,
-                  deterministic: bool = True):
+    def bank_read(self, q, k_bank, v_bank, id_v_bank, u, length, size_2d,
+                  mem_pe=None, deterministic: bool = True):
         """Fused Pallas memory read (use_linear=False path):
-        k_bank [B,T,HW,Datt], v_bank [B,T,HW,Dv]. Returns (out, mass)."""
-        from rmem_ocu_tpu.ops.pallas.memory_read import memory_read_multihead
-        raw, mass = memory_read_multihead(q, k_bank, v_bank, length,
-                                          self.num_heads,
-                                          self.att_dim ** -0.5)
+        k_bank [B,T,HW,Datt], v_bank/id_v_bank [B,T,HW,E] (DeAOT's value /
+        id-value halves — concatenated channel-wise by the reference,
+        transformer.py:1183), mem_pe optional [B|1, T, Datt].
+        Returns (out, mass)."""
+        from rmem_ocu_tpu.ops.pallas.memory_read import (memory_read_fused,
+                                                         memory_read_multihead)
+        scale = self.att_dim ** -0.5
+        if self.num_heads == 1:
+            # single head: the concatenated V‖ID_V shares one probability
+            # matrix, so the two banks read separately (no bank-sized concat)
+            (o_v, o_id), mass = memory_read_fused(
+                q, k_bank, (v_bank, id_v_bank), length, 1, scale,
+                mem_pe=mem_pe)
+            raw = jnp.concatenate([o_v, o_id], axis=-1)
+        else:
+            # multi-head: head i of the concatenation straddles the halves
+            # differently; keep the generic folded path
+            if mem_pe is not None:
+                k_bank = k_bank + mem_pe[:, :, None, :].astype(k_bank.dtype)
+            cat_v = jnp.concatenate([v_bank, id_v_bank], axis=-1)
+            raw, mass = memory_read_multihead(q, k_bank, cat_v, length,
+                                              self.num_heads, scale)
         out = self._gate_and_project(raw.astype(q.dtype), u, size_2d,
                                      deterministic)
         return out, mass

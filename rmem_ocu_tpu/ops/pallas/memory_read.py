@@ -152,6 +152,238 @@ def memory_read_attention(q, k_bank, v_bank, length, block_q: int = 512,
     return out, mass
 
 
+def _make_fused_kernel(mm_dtype, num_heads: int, has_pe: bool,
+                       two_banks: bool):
+    """Kernel body for memory_read_fused (closure over static config).
+
+    Ref order after the scalar prefetch: q, k, [pe], v1, [v2] inputs;
+    o1, [o2], mass outputs; m, l, acc1, [acc2], s scratch.
+    """
+    def kernel(length_ref, *refs):
+        it = iter(refs)
+        q_ref = next(it)
+        k_ref = next(it)
+        pe_ref = next(it) if has_pe else None
+        v1_ref = next(it)
+        v2_ref = next(it) if two_banks else None
+        o1_ref = next(it)
+        o2_ref = next(it) if two_banks else None
+        mass_ref = next(it)
+        m_scr = next(it)
+        l_scr = next(it)
+        acc1 = next(it)
+        acc2 = next(it) if two_banks else None
+        s_scr = next(it)
+
+        bh = pl.program_id(0)
+        t = pl.program_id(2)
+        kb = pl.program_id(3)
+        t_cap = pl.num_programs(2)
+        n_kb = pl.num_programs(3)
+        length = length_ref[bh // num_heads]
+
+        @pl.when(jnp.logical_and(t == 0, kb == 0))
+        def _init():
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc1[:] = jnp.zeros_like(acc1)
+            if two_banks:
+                acc2[:] = jnp.zeros_like(acc2)
+            s_scr[:] = jnp.zeros_like(s_scr)
+
+        @pl.when(t < length)
+        def _step():
+            q = q_ref[0].astype(mm_dtype)            # [Lq, D]
+            k = k_ref[0, 0].astype(mm_dtype)         # [Kb, D]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Lq, Kb]
+            if has_pe:
+                # temporal PE is added to every key of slot t; since it is
+                # constant across the slot's HW keys, (q @ (k + pe)^T)
+                # = q @ k^T + (q @ pe^T) broadcast over the key axis —
+                # the full-bank (k + pe) materialization never happens.
+                pe = pe_ref[0].astype(mm_dtype)      # [1, D]
+                pe_corr = jax.lax.dot_general(
+                    q, pe, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [Lq, 1]
+                logits = logits + pe_corr
+
+            m_prev = m_scr[:]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1,
+                                                keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new)
+            p_sum = jnp.sum(p, axis=-1, keepdims=True)
+            l_scr[:] = l_scr[:] * alpha + p_sum
+            pmm = p.astype(mm_dtype)
+            acc1[:] = acc1[:] * alpha + jax.lax.dot_general(
+                pmm, v1_ref[0, 0].astype(mm_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if two_banks:
+                acc2[:] = acc2[:] * alpha + jax.lax.dot_general(
+                    pmm, v2_ref[0, 0].astype(mm_dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            slot_onehot = (jax.lax.broadcasted_iota(
+                jnp.int32, s_scr.shape, 1) == t).astype(jnp.float32)
+            s_scr[:] = s_scr[:] * alpha + p_sum * slot_onehot
+            m_scr[:] = m_new
+
+        @pl.when(jnp.logical_and(t == t_cap - 1, kb == n_kb - 1))
+        def _finalize():
+            denom = jnp.maximum(l_scr[:], 1e-30)
+            o1_ref[0] = (acc1[:] / denom).astype(o1_ref.dtype)
+            if two_banks:
+                o2_ref[0] = (acc2[:] / denom).astype(o2_ref.dtype)
+            mass_ref[0, 0] = (s_scr[:] / denom).astype(mass_ref.dtype)
+
+    return kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_fused_blocks(hwq: int, hwk: int, d: int, dv_heads, t_cap: int,
+                       in_itemsize: int, out_itemsize: int,
+                       budget: int = 9 * 1024 * 1024):
+    """(bq, bk) sized so double-buffered input blocks + f32 accumulators fit
+    the VMEM budget. bk must divide hwk exactly (zero-padded keys would leak
+    softmax mass), bq is free to pad."""
+    dv_total = sum(dv_heads)
+
+    def vmem(bq, bk):
+        acc = bq * dv_total * 4 + bq * (t_cap + 2) * 4
+        outs = bq * dv_total * out_itemsize + bq * t_cap * 4
+        q = bq * d * in_itemsize
+        kv = 2 * bk * (d + dv_total) * in_itemsize   # double-buffered
+        return acc + outs + q + kv
+
+    bq = _round_up(min(hwq, 2048), 16)
+    bk = hwk
+    while vmem(bq, bk) > budget and bq > 256:
+        bq = _round_up(bq // 2, 16)
+    if vmem(bq, bk) > budget:
+        bk = _best_block_k(hwk, cap=max(256, hwk // 4))
+    return bq, bk
+
+
+def memory_read_fused(q, k_bank, v_banks, length, num_heads: int,
+                      scale: float, mem_pe=None, block_q: int = None,
+                      block_k: int = None, interpret: bool = None,
+                      precise: bool = False):
+    """Fused bank read without head transposes or bank concatenation.
+
+    q: [B, HWq, H*D] (unscaled); k_bank: [B, T_cap, HWk, H*D];
+    v_banks: tuple of 1 or 2 arrays [B, T_cap, HWk, Cv_i] (two banks =
+    DeAOT's V / ID_V pair sharing one set of attention probs — requires
+    num_heads == 1); length: [B]; mem_pe: optional [B|1, T_cap, H*D]
+    temporal PE (reference adds it to every memory key,
+    transformer.py:594-629); applied here as a rank-1 logit correction
+    inside the kernel.
+
+    Heads are handled by BlockSpec channel slicing (grid axis b*h), so the
+    banks are read in their storage layout — no [B,T,HW,C] -> [B*H,T,HW,D]
+    transpose copies. Returns (outs tuple [B, HWq, Cv_i] in q.dtype,
+    mass [B, HWq, T_cap] f32 — mean over heads).
+    """
+    two_banks = len(v_banks) == 2
+    if two_banks and num_heads != 1:
+        raise ValueError('two value banks share one probability matrix; '
+                         'only num_heads=1 decomposes this way')
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, hwq, hd = q.shape
+    _, t_cap, hwk, _ = k_bank.shape
+    h = num_heads
+    d = hd // h
+    dv_heads = tuple(v.shape[-1] // h for v in v_banks)
+
+    q = q * jnp.asarray(scale, q.dtype)
+    if mem_pe is not None:
+        mem_pe = jnp.broadcast_to(mem_pe, (b, t_cap, hd)).astype(q.dtype)
+
+    bq, bk = _pick_fused_blocks(
+        hwq, hwk, d, dv_heads, t_cap,
+        in_itemsize=q.dtype.itemsize, out_itemsize=q.dtype.itemsize)
+    if block_q is not None:
+        bq = _round_up(min(block_q, hwq), 16)
+    if block_k is not None:
+        bk = block_k
+    if hwk % bk != 0:
+        raise ValueError(f'HWk={hwk} must be divisible by block_k={bk}')
+    pad_q = (-hwq) % bq
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    n_q = (hwq + pad_q) // bq
+    n_k = hwk // bk
+
+    def _b(i):                                   # batch of grid step i
+        return i // h
+
+    def _clamp_t(t, L, i):
+        # dead slots re-fetch the last live block (same index as the
+        # previous grid step -> Mosaic elides the DMA); @pl.when skips
+        # the compute anyway.
+        return jnp.minimum(t, jnp.maximum(L[_b(i)] - 1, 0))
+
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, qb, t, kb, L:
+                     (_b(i), qb, i % h)),
+        pl.BlockSpec((1, 1, bk, d), lambda i, qb, t, kb, L:
+                     (_b(i), _clamp_t(t, L, i), kb, i % h)),
+    ]
+    operands = [q, k_bank]
+    if mem_pe is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, d), lambda i, qb, t, kb, L:
+            (_b(i), _clamp_t(t, L, i), i % h)))
+        operands.append(mem_pe)
+    for v, dvh in zip(v_banks, dv_heads):
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bk, dvh), lambda i, qb, t, kb, L:
+            (_b(i), _clamp_t(t, L, i), kb, i % h)))
+        operands.append(v)
+
+    out_specs = [pl.BlockSpec((1, bq, dvh), lambda i, qb, t, kb, L:
+                              (_b(i), qb, i % h))
+                 for dvh in dv_heads]
+    out_specs.append(pl.BlockSpec((1, 1, bq, t_cap),
+                                  lambda i, qb, t, kb, L:
+                                  (_b(i), i % h, qb, 0)))
+    out_shape = [jax.ShapeDtypeStruct((b, hwq + pad_q, h * dvh), q.dtype)
+                 for dvh in dv_heads]
+    out_shape.append(jax.ShapeDtypeStruct((b, h, hwq + pad_q, t_cap),
+                                          jnp.float32))
+
+    scratch = [pltpu.VMEM((bq, 1), jnp.float32),
+               pltpu.VMEM((bq, 1), jnp.float32),
+               pltpu.VMEM((bq, dv_heads[0]), jnp.float32)]
+    if two_banks:
+        scratch.append(pltpu.VMEM((bq, dv_heads[1]), jnp.float32))
+    scratch.append(pltpu.VMEM((bq, t_cap), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, n_q, t_cap, n_k),
+        in_specs=in_specs, out_specs=out_specs, scratch_shapes=scratch)
+
+    kernel = _make_fused_kernel(
+        jnp.float32 if precise else jnp.bfloat16, h,
+        has_pe=mem_pe is not None, two_banks=two_banks)
+    results = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret)(length, *operands)
+    *outs, mass = results
+    if pad_q:
+        outs = [o[:, :hwq] for o in outs]
+        mass = mass[:, :, :hwq]
+    mass = jnp.mean(mass, axis=1)                 # mean over heads
+    return tuple(outs), mass
+
+
 def _best_block_k(hwk: int, cap: int = 512) -> int:
     """Largest divisor of hwk that is <= cap and a multiple of 8 (Mosaic's
     sublane constraint); falls back to hwk itself (the 'equal to the array
