@@ -180,7 +180,10 @@ def _make_fused_kernel(mm_dtype, num_heads: int, has_pe: bool,
         kb = pl.program_id(3)
         t_cap = pl.num_programs(2)
         n_kb = pl.num_programs(3)
-        length = length_ref[bh // num_heads]
+        # lax.div, not python //: program ids are non-negative and jnp's
+        # floor-div sign correction adds needless select chains in Mosaic
+        length = length_ref[bh if num_heads == 1
+                            else jax.lax.div(bh, num_heads)]
 
         @pl.when(jnp.logical_and(t == 0, kb == 0))
         def _init():
@@ -201,12 +204,15 @@ def _make_fused_kernel(mm_dtype, num_heads: int, has_pe: bool,
             if has_pe:
                 # temporal PE is added to every key of slot t; since it is
                 # constant across the slot's HW keys, (q @ (k + pe)^T)
-                # = q @ k^T + (q @ pe^T) broadcast over the key axis —
-                # the full-bank (k + pe) materialization never happens.
-                pe = pe_ref[0].astype(mm_dtype)      # [1, D]
-                pe_corr = jax.lax.dot_general(
-                    q, pe, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # [Lq, 1]
+                # = q @ k^T + (q . pe) broadcast over the key axis — the
+                # full-bank (k + pe) materialization never happens. A
+                # multiply-reduce (VPU), not a [Lq,D]x[1,D] dot: Mosaic
+                # lowers the degenerate matvec through a mixed-dtype
+                # vector.broadcast that fails verification.
+                pe = pe_ref[0, 0].astype(jnp.float32)     # [1, D]
+                pe_corr = jnp.sum(
+                    q.astype(jnp.float32) * pe, axis=-1,
+                    keepdims=True)                        # [Lq, 1]
                 logits = logits + pe_corr
 
             m_prev = m_scr[:]
@@ -303,7 +309,10 @@ def memory_read_fused(q, k_bank, v_banks, length, num_heads: int,
 
     q = q * jnp.asarray(scale, q.dtype)
     if mem_pe is not None:
-        mem_pe = jnp.broadcast_to(mem_pe, (b, t_cap, hd)).astype(q.dtype)
+        # [B, T, 1, HD]: the singleton axis keeps the trailing two block
+        # dims equal to the array dims (Mosaic's (8, 128)-or-full rule)
+        mem_pe = jnp.broadcast_to(
+            mem_pe, (b, t_cap, hd)).astype(q.dtype)[:, :, None, :]
 
     bq, bk = _pick_fused_blocks(
         hwq, hwk, d, dv_heads, t_cap,
@@ -320,8 +329,23 @@ def memory_read_fused(q, k_bank, v_banks, length, num_heads: int,
     n_q = (hwq + pad_q) // bq
     n_k = hwk // bk
 
-    def _b(i):                                   # batch of grid step i
-        return i // h
+    # Index-map arithmetic must stay Mosaic-lowerable: python `//`/`%` on a
+    # traced grid index emit jnp's sign-correction jaxpr (select_n over
+    # rem/div), which the TPU block-mapping lowering rejects. Grid indices
+    # are non-negative, so truncated lax.div/lax.rem are exact — and for the
+    # flagship num_heads==1 path they reduce to the identity / constant 0.
+    if h == 1:
+        def _b(i):                               # batch of grid step i
+            return i
+
+        def _h(i):                               # head of grid step i
+            return 0
+    else:
+        def _b(i):
+            return jax.lax.div(i, h)
+
+        def _h(i):
+            return jax.lax.rem(i, h)
 
     def _clamp_t(t, L, i):
         # dead slots re-fetch the last live block (same index as the
@@ -331,28 +355,28 @@ def memory_read_fused(q, k_bank, v_banks, length, num_heads: int,
 
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda i, qb, t, kb, L:
-                     (_b(i), qb, i % h)),
+                     (_b(i), qb, _h(i))),
         pl.BlockSpec((1, 1, bk, d), lambda i, qb, t, kb, L:
-                     (_b(i), _clamp_t(t, L, i), kb, i % h)),
+                     (_b(i), _clamp_t(t, L, i), kb, _h(i))),
     ]
     operands = [q, k_bank]
     if mem_pe is not None:
         in_specs.append(pl.BlockSpec(
-            (1, 1, d), lambda i, qb, t, kb, L:
-            (_b(i), _clamp_t(t, L, i), i % h)))
+            (1, 1, 1, d), lambda i, qb, t, kb, L:
+            (_b(i), _clamp_t(t, L, i), 0, _h(i))))
         operands.append(mem_pe)
     for v, dvh in zip(v_banks, dv_heads):
         in_specs.append(pl.BlockSpec(
             (1, 1, bk, dvh), lambda i, qb, t, kb, L:
-            (_b(i), _clamp_t(t, L, i), kb, i % h)))
+            (_b(i), _clamp_t(t, L, i), kb, _h(i))))
         operands.append(v)
 
     out_specs = [pl.BlockSpec((1, bq, dvh), lambda i, qb, t, kb, L:
-                              (_b(i), qb, i % h))
+                              (_b(i), qb, _h(i)))
                  for dvh in dv_heads]
     out_specs.append(pl.BlockSpec((1, 1, bq, t_cap),
                                   lambda i, qb, t, kb, L:
-                                  (_b(i), i % h, qb, 0)))
+                                  (_b(i), _h(i), qb, 0)))
     out_shape = [jax.ShapeDtypeStruct((b, hwq + pad_q, h * dvh), q.dtype)
                  for dvh in dv_heads]
     out_shape.append(jax.ShapeDtypeStruct((b, h, hwq + pad_q, t_cap),
