@@ -258,6 +258,12 @@ class ExpConfig:
     compute_dtype: str = 'float32'        # 'float32' | 'bfloat16'
     mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh (ICI)
     mesh_axes: Tuple[str, ...] = ('data',)
+    # Megatron-style sequence/spatial parallelism: additionally shard the
+    # episode's image H axis over the mesh's `model` axis, so the
+    # conv-heavy encode/decode runs spatially partitioned (GSPMD inserts
+    # the halo exchanges) while the LSTT keeps its tensor-parallel specs.
+    # No-op on a mesh without a model axis.
+    train_spatial_sharding: bool = False
 
     def dir_result(self) -> str:
         import os

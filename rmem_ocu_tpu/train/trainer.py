@@ -124,6 +124,17 @@ class Trainer:
     def _train_step(self, state: TrainState, frames, masks, obj_nums, rng,
                     use_prev_pred: bool, extra_frozen: Tuple[str, ...]):
         exp = self.exp
+        if exp.train_spatial_sharding and 'model' in self.mesh.axis_names:
+            # sequence/spatial parallelism over the tp axis (the Megatron
+            # SP trick): episodes enter sharded on H, so the encoder/decoder
+            # convs run spatially partitioned — GSPMD inserts the halo
+            # exchanges — and GSPMD reshards once where the LSTT's
+            # tensor-parallel weight specs take over.
+            frames = jax.lax.with_sharding_constraint(
+                frames, NamedSharding(self.mesh,
+                                      P('data', None, 'model')))
+            masks = jax.lax.with_sharding_constraint(
+                masks, NamedSharding(self.mesh, P('data', None, 'model')))
 
         def loss_fn(params):
             loss, aux = self.engine.episode_loss(

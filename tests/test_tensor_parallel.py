@@ -138,3 +138,34 @@ def test_tp_matches_dp():
         b = np.asarray(flat_tp[path])
         np.testing.assert_allclose(np.asarray(a), b, rtol=5e-4, atol=2e-5,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_spatial_sharding_matches_dp():
+    """Sequence/spatial parallelism (train_spatial_sharding): episodes
+    constrained to P('data', None, 'model') on H run the convs spatially
+    partitioned (GSPMD halo exchange) on top of dp x tp. Numerics must
+    match the plain data-parallel step."""
+    from dataclasses import replace
+    devs = np.asarray(jax.devices())
+    assert devs.size == 8, 'conftest must provide 8 CPU devices'
+    exp = _exp()
+    model = build_vos_model(exp.model)
+    batch = _batch(2)
+
+    def run(mesh, exp_):
+        trainer = Trainer(model, exp_, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch['frames'],
+                                   batch['masks'])
+        state = trainer.globalize_state(state)
+        state, metrics = trainer.train_step(state, dict(batch),
+                                            jax.random.PRNGKey(1))
+        return state, float(metrics['loss'])
+
+    _, loss_dp = run(Mesh(devs[:2].reshape(2), ('data',)), exp)
+    exp_sp = replace(exp, train_spatial_sharding=True)
+    s_sp, loss_sp = run(Mesh(devs.reshape(2, 4), ('data', 'model')), exp_sp)
+    np.testing.assert_allclose(loss_sp, loss_dp, rtol=2e-5)
+    # the tp weight shardings still hold alongside the activation constraint
+    q = s_sp.params['params']['lstt']['block_0']['self_attn'][
+        'linear_Q']['kernel']
+    assert q.sharding.spec == P(None, 'model')
