@@ -24,9 +24,9 @@ import jax.numpy as jnp
 from rmem_ocu_tpu.config import ExpConfig, ModelConfig
 from rmem_ocu_tpu.memory import bank as membank
 from rmem_ocu_tpu.models.vos_model import VOSModel
-from rmem_ocu_tpu.ops.masks import one_hot_mask
 from rmem_ocu_tpu.ops.position import interpolated_memory_pe
 from rmem_ocu_tpu.ops.resize import interpolate_bilinear
+from rmem_ocu_tpu.ops.s2d import space_to_depth_label
 
 UNUSED_ID_LOGIT = -1e10
 
@@ -165,6 +165,31 @@ class InferEngine:
             one_hot = one_hot.astype(dtype)
         return self._apply(params, VOSModel.get_id_emb, one_hot)
 
+    def _id_emb_from_label(self, params, label, dtype=None):
+        """_id_emb for an INT label map, skipping the full-res one-hot: the
+        one-hot (+ the ignore_token fold: ch0 *= (label != 255), appended
+        ignore channel) equals one_hot(label', n_ch) with label' = n_ch - 1
+        at ignored pixels, so it can be built directly in the id bank's 16x
+        space-to-depth block layout (shuffles the int map, 16x*n_ch/4 less
+        data than transposing the one-hot — profiled ~250 us/frame at 480p).
+        """
+        cfg = self.cfg
+        if label.ndim == 4:
+            label = label[..., 0]
+        n_ids = cfg.max_obj_num + 1
+        n_ch = n_ids + (1 if cfg.ignore_token else 0)
+        lab = label.astype(jnp.int32)
+        # out-of-range ids (incl. 255 without ignore_token) -> all-zero
+        # channels, exactly like one_hot_mask
+        lab = jnp.where(lab >= n_ids, n_ch, lab)
+        if cfg.ignore_token:
+            lab = jnp.where(label.astype(jnp.int32) == 255, n_ch - 1, lab)
+        B, H, W = lab.shape
+        xb = space_to_depth_label(lab, 16, n_ch,
+                                  dtype=dtype if dtype is not None
+                                  else jnp.float32)
+        return self._apply(params, VOSModel.get_id_emb, xb, pre_s2d=(H, W))
+
     def _temporal_pe(self, params, length):
         """(cur_pe [C], mem_pe [1, T_cap, C]) or None, interpolated to the
         live memory length (reference transformer.py:594-629)."""
@@ -210,8 +235,7 @@ class InferEngine:
         b, h, w, _ = xs[-1].shape
         size_2d = (h, w)
 
-        one_hot, ignore = one_hot_mask(mask, cfg.max_obj_num)
-        id_emb = self._id_emb(params, one_hot, ignore, dtype=img.dtype)
+        id_emb = self._id_emb_from_label(params, mask, dtype=img.dtype)
         self_pos = self._apply(params, VOSModel.get_pos_emb,
                                size_2d).astype(img.dtype)
         tpe = self._temporal_pe(params,
@@ -313,11 +337,12 @@ class InferEngine:
         Reference: engines/aot_engine.py:327-369 + transformer.py:269-436."""
         cfg = self.cfg
         if mask.ndim == 3 or mask.shape[-1] == 1:
-            one_hot, ignore = one_hot_mask(mask, cfg.max_obj_num)
+            id_emb = self._id_emb_from_label(params, mask,
+                                             dtype=state.bank.k[0].dtype)
         else:
             one_hot, ignore = mask, jnp.zeros_like(mask[..., :1])
-        id_emb = self._id_emb(params, one_hot, ignore,
-                              dtype=state.bank.k[0].dtype)
+            id_emb = self._id_emb(params, one_hot, ignore,
+                                  dtype=state.bank.k[0].dtype)
 
         # fuse pending memories with the id embedding
         per_layer = []

@@ -128,10 +128,16 @@ class VOSModel(nn.Module):
         return xs
 
     # --- reference AOT.get_id_emb (aot.py:111-114, deaot.py:65-69) ---
-    def get_id_emb(self, one_hot, deterministic: bool = True):
+    def get_id_emb(self, one_hot, deterministic: bool = True,
+                   pre_s2d=None):
         """one_hot: [B, H, W, id_dim] -> id tokens [B, HW/256, d].
-        Train-time id dropout per aot.py:84, :113."""
-        id_emb = self.patch_wise_id_bank(one_hot)
+        Train-time id dropout per aot.py:84, :113.
+
+        pre_s2d=(H, W): one_hot is already the space-to-depth block layout
+        [B, H/16, W/16, 256*id_dim] (built straight from the int label by
+        ops/s2d.space_to_depth_label — the eval fast path that skips
+        shuffling the 16x-larger one-hot tensor)."""
+        id_emb = self.patch_wise_id_bank(one_hot, pre_s2d=pre_s2d)
         if self.is_deaot:
             id_emb = self.id_norm(id_emb)
         id_emb = tokens_from_2d(id_emb)
