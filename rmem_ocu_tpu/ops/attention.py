@@ -17,6 +17,7 @@ here (aot_plus/networks/layers/attention.py):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -274,6 +275,35 @@ def _skew(a):
     return a.reshape(*lead, q_len, q_len + w_len - 1)
 
 
+def _scatter_bias_to_padded_grid(rel, h: int, w: int, ws: int):
+    """Same map as _skew_bias_to_padded_grid, computed as two static
+    one-hot batched matmuls instead of pad/reshape/transpose: the scatter
+    index is SEPARABLE (kyp = qy + dy, kxp = qx + dx), so
+
+        bias[b,n,qy,qx,kyp,kxp]
+            = sum_{dy,dx} rel6[b,n,qy,qx,dy,dx] A[qy,dy,kyp] B[qx,dx,kxp]
+
+    with A/B 0/1 operands. Exactly one product per output is nonzero, so
+    the result is identical (up to the MXU's operand precision). The skew
+    formulation materializes three 6-D transposes with (23, 15)-ish minor
+    dims that XLA executes as ~20 GB/s tiny-tile layout copies (~150 us
+    each per layer on v5e); the one-hot dots are a few us of (padded) MXU
+    work and fuse cleanly."""
+    b, nh = rel.shape[:2]
+    hp, wp = h + ws - 1, w + ws - 1
+    dt = rel.dtype
+    A = (np.arange(hp)[None, None, :]
+         == np.arange(h)[:, None, None] + np.arange(ws)[None, :, None])
+    B = (np.arange(wp)[None, None, :]
+         == np.arange(w)[:, None, None] + np.arange(ws)[None, :, None])
+    A = jnp.asarray(A, dt)                   # [h, ws, hp]
+    B = jnp.asarray(B, dt)                   # [w, ws, wp]
+    r = rel.reshape(b, nh, h, w, ws, ws)
+    r = jnp.einsum('bnyxde,xek->bnyxdk', r, B)   # scatter dx -> kxp
+    r = jnp.einsum('bnyxdk,ydm->bnyxmk', r, A)   # scatter dy -> kyp
+    return r.reshape(b, nh, h * w, hp * wp)
+
+
 def _skew_bias_to_padded_grid(rel, h: int, w: int, ws: int):
     """rel [B, H, h*w, ws*ws] (per-query window bias, row-major dy, dx) ->
     bias [B, H, h*w, Hp*Wp] over the padded key grid, where
@@ -365,10 +395,15 @@ class LocalGatedPropagation(nn.Module):
         vh = split_heads(vp, self.num_heads)
         logits = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
                             preferred_element_type=jnp.float32)
-        # Scatter the per-query [ws*ws] bias onto the padded key grid with
-        # the relative-position "skew" (pad + reshape): a per-pair gather
-        # here costs ~18 ms/layer on TPU (scalar loads), the skew is free.
-        bias = _skew_bias_to_padded_grid(rel, h, w, ws)
+        # Scatter the per-query [ws*ws] bias onto the padded key grid. A
+        # per-pair gather costs ~18 ms/layer on TPU (scalar loads); the
+        # separable one-hot matmul scatter beats the skew's 6-D transpose
+        # copies (~150 us/layer each). RMEM_LOCAL_BIAS=skew keeps the old
+        # pad/reshape path for A/B.
+        if os.environ.get('RMEM_LOCAL_BIAS', 'scatter') == 'skew':
+            bias = _skew_bias_to_padded_grid(rel, h, w, ws)
+        else:
+            bias = _scatter_bias_to_padded_grid(rel, h, w, ws)
         logits = logits + bias + jnp.where(mask, 0.0, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
         if self.dropout > 0.0 and not deterministic:

@@ -211,3 +211,19 @@ def test_skew_bias_equals_gather():
         got = np.asarray(_skew_bias_to_padded_grid(jnp.asarray(rel), h, w,
                                                    ws))
         np.testing.assert_array_equal(got, want, err_msg=f'{h}x{w} m={m}')
+
+
+def test_scatter_bias_equals_skew():
+    """The separable one-hot matmul scatter (the TPU default: two batched
+    dots instead of three 6-D transpose copies) must be bit-identical to
+    the skew, including windows larger than the grid."""
+    from rmem_ocu_tpu.ops.attention import (_scatter_bias_to_padded_grid,
+                                            _skew_bias_to_padded_grid)
+    for (h, w, m), seed in (((5, 9, 2), 0), ((7, 4, 3), 1), ((1, 6, 7), 2),
+                            ((23, 40, 7), 3)):
+        ws = 2 * m + 1
+        rel = jnp.asarray(np.random.RandomState(seed).randn(
+            2, 3, h * w, ws * ws).astype(np.float32))
+        want = np.asarray(_skew_bias_to_padded_grid(rel, h, w, ws))
+        got = np.asarray(_scatter_bias_to_padded_grid(rel, h, w, ws))
+        np.testing.assert_array_equal(got, want, err_msg=f'{h}x{w} m={m}')
