@@ -405,7 +405,7 @@ def main(streams: int = 1, full: bool = True,
 def main_train(batch: int = 8, seq: int = 15, size: int = 465,
                remat: str = 'full', model_name: str = 'r50_deaotl',
                steps: int = 5, amp: bool = True, enc_chunk: int = 0,
-               unroll: int = 1):
+               unroll: int = 1, profile: str = None):
     """Recipe-scale training benchmark (VERDICT r2 #2): fwd+bwd at the
     reference's pre_vost recipe shape — global batch 8, seq len 15, 465²,
     AMP (reference train_vost.sh:3-27 passes --amp; configs/pre_vost.py:
@@ -445,6 +445,13 @@ def main_train(batch: int = 8, seq: int = 15, size: int = 465,
     for _ in range(5):
         state, metrics = trainer.train_step(state, b, rng)
     loss = float(metrics['loss'])
+
+    if profile:
+        # warm-trace a couple of steps for kernel-level attribution
+        with jax.profiler.trace(profile):
+            for _ in range(2):
+                state, metrics = trainer.train_step(state, b, rng)
+            loss = float(metrics['loss'])
 
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -620,7 +627,8 @@ if __name__ == '__main__':
         main_train(batch=args.train_batch, seq=args.train_seq,
                    size=args.train_size, remat=args.remat,
                    model_name=args.model, amp=not args.no_amp,
-                   enc_chunk=args.enc_chunk, unroll=args.unroll)
+                   enc_chunk=args.enc_chunk, unroll=args.unroll,
+                   profile=args.profile)
     elif args.pallas_ab:
         main_pallas_ab()
     elif args.profile:
