@@ -134,14 +134,26 @@ class GPMBlock(nn.Module):
             if mem_pe is not None:
                 mem_k = mem_k + mem_pe[:, :, None, :]
             flat_k = mem_k.reshape(b, capacity * hw, -1)
-            flat_v = jnp.concatenate([
-                mem_v.reshape(b, capacity * hw, -1),
-                mem_id_v.reshape(b, capacity * hw, -1)], axis=-1)
             bias = (None if capacity == 1
                     else bank_key_bias(length, capacity, hw))
-            cat_tgt2, probs = self.long_term_attn(
-                q_time, flat_k, flat_v, cat_curr_u, size_2d, key_bias=bias,
-                return_probs=need_mass, deterministic=deterministic)
+            if self.att_heads == 1:
+                # V and ID_V share one probability matrix: read the two
+                # banks separately instead of materializing the bank-sized
+                # concat (numerics identical; see multi_value_call)
+                cat_tgt2, probs = self.long_term_attn.multi_value_call(
+                    q_time, flat_k,
+                    (mem_v.reshape(b, capacity * hw, -1),
+                     mem_id_v.reshape(b, capacity * hw, -1)),
+                    cat_curr_u, size_2d, key_bias=bias,
+                    return_probs=need_mass, deterministic=deterministic)
+            else:
+                flat_v = jnp.concatenate([
+                    mem_v.reshape(b, capacity * hw, -1),
+                    mem_id_v.reshape(b, capacity * hw, -1)], axis=-1)
+                cat_tgt2, probs = self.long_term_attn(
+                    q_time, flat_k, flat_v, cat_curr_u, size_2d,
+                    key_bias=bias, return_probs=need_mass,
+                    deterministic=deterministic)
             mass = (frame_mass_from_probs(probs, capacity)
                     if need_mass else None)
 

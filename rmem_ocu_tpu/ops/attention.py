@@ -208,6 +208,40 @@ class GatedPropagation(nn.Module):
         out = self._gate_and_project(out, u, size_2d, deterministic)
         return out, probs
 
+    def multi_value_call(self, q, k, vs, u, size_2d, key_bias=None,
+                         return_probs: bool = False,
+                         deterministic: bool = True):
+        """Single-head gated attention sharing ONE probability matrix across
+        several value banks: returns concat_i(P @ vs[i]) gated+projected.
+
+        Element-identical to `__call__(q, k, concat(vs), ...)` when
+        num_heads == 1 (each output channel contracts over exactly one
+        bank), but skips materializing the bank-sized value concat — at
+        DeAOT eval shapes that concat is [B, T*HW, 2E] ≈ 19 MB of HBM
+        write+read per layer per frame (59 MB at the train recipe shape),
+        pure layout traffic. Reference semantics: transformer.py:1183
+        concatenates V and ID_V before one GatedPropagation call."""
+        assert self.num_heads == 1, 'shared-probs split requires one head'
+        scale = self.att_dim ** -0.5
+        logits = jnp.einsum('bqd,bkd->bqk', q * scale, k,
+                            preferred_element_type=jnp.float32)
+        if key_bias is not None:
+            # [B, 1, 1, K] (bank_key_bias layout) or broadcastable
+            logits = logits + key_bias.reshape(key_bias.shape[0], 1, -1)
+        probs = jax.nn.softmax(logits, axis=-1)
+        attn = probs
+        if self.dropout > 0.0 and not deterministic:
+            keep = 1.0 - self.dropout
+            attn = probs * jax.random.bernoulli(
+                self.make_rng('dropout'), keep, probs.shape) / keep
+        attn = attn.astype(vs[0].dtype)
+        out = jnp.concatenate(
+            [jnp.einsum('bqk,bkd->bqd', attn, v,
+                        preferred_element_type=jnp.float32).astype(v.dtype)
+             for v in vs], axis=-1)
+        out = self._gate_and_project(out, u, size_2d, deterministic)
+        return out, (probs[:, None] if return_probs else None)
+
     def bank_read(self, q, k_bank, v_bank, id_v_bank, u, length, size_2d,
                   mem_pe=None, deterministic: bool = True):
         """Fused Pallas memory read (use_linear=False path):
