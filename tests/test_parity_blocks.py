@@ -157,3 +157,38 @@ def test_lstt_block_propagate_parity(t_mem, use_tpe):
     np.testing.assert_allclose(np.asarray(mass)[:, :, :t_mem],
                                want_mass.numpy(), rtol=1e-4, atol=1e-5)
     assert np.abs(np.asarray(mass)[:, :, t_mem:]).max() < 1e-6
+
+
+def test_gpm_multi_value_call_matches_folded_concat():
+    """The single-head shared-probs split read (multi_value_call) must be
+    numerically identical to one GatedPropagation call over the folded
+    concat(V, ID_V) — each output channel contracts over exactly one bank,
+    so only the (skipped) bank-sized concat differs."""
+    from rmem_ocu_tpu.ops.attention import GatedPropagation
+    from rmem_ocu_tpu.models.lstt import bank_key_bias
+
+    B, HW, T, D_ATT, E = 2, 30, 4, 16, 24
+    size_2d = (5, 6)
+    gp = GatedPropagation(d_qk=2 * D_ATT, d_vu=E, num_heads=1, d_att=D_ATT,
+                          use_linear=False)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, HW, D_ATT), jnp.float32)
+    k = jnp.asarray(rng.randn(B, T * HW, D_ATT), jnp.float32)
+    v1 = jnp.asarray(rng.randn(B, T * HW, E), jnp.float32)
+    v2 = jnp.asarray(rng.randn(B, T * HW, E), jnp.float32)
+    u = jnp.asarray(rng.randn(B, HW, 2 * E), jnp.float32)
+    length = jnp.asarray([3, 4], jnp.int32)
+    bias = bank_key_bias(length, T, HW)
+
+    params = gp.init(jax.random.PRNGKey(0), q, k,
+                     jnp.concatenate([v1, v2], -1), u, size_2d,
+                     key_bias=bias)
+    want, want_probs = gp.apply(params, q, k, jnp.concatenate([v1, v2], -1),
+                                u, size_2d, key_bias=bias, return_probs=True)
+    got, got_probs = gp.apply(params, q, k, (v1, v2), u, size_2d,
+                              key_bias=bias, return_probs=True,
+                              method=GatedPropagation.multi_value_call)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_probs), np.asarray(want_probs),
+                               rtol=1e-6, atol=1e-6)
