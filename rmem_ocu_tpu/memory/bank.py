@@ -168,17 +168,21 @@ def append_frame(bank: MemoryBank, new_k, new_v, new_id_v,
 
 def _shift_gather(arr, drop_idx, enabled):
     """Remove slot drop_idx by shifting the tail left (per batch, no-op where
-    not enabled). arr: [B, T, ...]; drop_idx/enabled: [B]."""
+    not enabled). arr: [B, T, ...]; drop_idx/enabled: [B].
+
+    Each output slot reads either itself or its right neighbour, so the
+    shift is a select between `arr` and its one-slot-shifted view — pure
+    elementwise ops that fuse. (A take/gather here lowers to transpose +
+    gather + transpose on TPU: ~56 MB of layout copies per eviction at
+    DeAOT eval shapes, the dominant cost of the memory-write branch.)"""
     cap = arr.shape[1]
-
-    def per_batch(a, d, en):
-        # a: [T, ...]
-        t = jnp.arange(cap)
-        shift = ((t >= d) & en).astype(jnp.int32)
-        idx = jnp.minimum(t + shift, cap - 1)
-        return jnp.take(a, idx, axis=0)
-
-    return jax.vmap(per_batch)(arr, drop_idx, enabled)
+    t = jnp.arange(cap)[None]                              # [1, T]
+    take_next = (t >= drop_idx[:, None]) & enabled[:, None]
+    take_next = take_next.reshape(*take_next.shape,
+                                  *([1] * (arr.ndim - 2)))
+    shifted = jnp.concatenate(
+        [arr[:, 1:], arr[:, cap - 1:]], axis=1)            # [B, T, ...]
+    return jnp.where(take_next, shifted, arr)
 
 
 def evict_frame(bank: MemoryBank, drop_idx, enabled=None,

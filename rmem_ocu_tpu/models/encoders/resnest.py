@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from rmem_ocu_tpu.ops.layers import make_bn
+from rmem_ocu_tpu.ops.layers import make_bn, max_pool_3x3_s2
 from rmem_ocu_tpu.ops.s2d import S2DConv
 
 
@@ -142,7 +142,7 @@ class ResNeStEncoder(nn.Module):
                     name='stem_conv3')(x)
         x = make_bn(sw * 2, self.frozen_bn, 'stem_bn3')(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = max_pool_3x3_s2(x)
 
         xs = []
         inplanes = sw * 2

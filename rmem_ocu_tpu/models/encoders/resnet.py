@@ -8,7 +8,7 @@ from typing import Tuple
 
 import flax.linen as nn
 
-from rmem_ocu_tpu.ops.layers import make_bn
+from rmem_ocu_tpu.ops.layers import make_bn, max_pool_3x3_s2
 from rmem_ocu_tpu.ops.s2d import S2DConv
 
 
@@ -59,7 +59,7 @@ class ResNetEncoder(nn.Module):
                     name='conv1')(x)
         x = make_bn(64, self.frozen_bn, 'bn1')(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = max_pool_3x3_s2(x)
 
         xs = []
         inplanes = 64

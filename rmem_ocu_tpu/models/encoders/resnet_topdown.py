@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from rmem_ocu_tpu.models.encoders.resnet import Bottleneck
-from rmem_ocu_tpu.ops.layers import make_bn
+from rmem_ocu_tpu.ops.layers import make_bn, max_pool_3x3_s2
 from rmem_ocu_tpu.ops.s2d import S2DConv
 from rmem_ocu_tpu.ops.resize import interpolate_bilinear
 
@@ -92,8 +92,7 @@ class ResNetTopDownEncoder(nn.Module):
 
     def _stem(self, x):
         x = nn.relu(self.stem_bn(self.stem_conv(x)))
-        return nn.max_pool(x, (3, 3), strides=(2, 2),
-                           padding=((1, 1), (1, 1)))
+        return max_pool_3x3_s2(x)
 
     def _forward_features(self, x, td=None):
         in_var, out_var = [], []

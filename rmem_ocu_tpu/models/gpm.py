@@ -139,13 +139,15 @@ class GPMBlock(nn.Module):
             if self.att_heads == 1:
                 # V and ID_V share one probability matrix: read the two
                 # banks separately instead of materializing the bank-sized
-                # concat (numerics identical; see multi_value_call)
-                cat_tgt2, probs = self.long_term_attn.multi_value_call(
+                # concat (numerics identical; see multi_value_call), with
+                # the eviction mass reduced inside the read
+                cat_tgt2, mass = self.long_term_attn.multi_value_call(
                     q_time, flat_k,
                     (mem_v.reshape(b, capacity * hw, -1),
                      mem_id_v.reshape(b, capacity * hw, -1)),
                     cat_curr_u, size_2d, key_bias=bias,
-                    return_probs=need_mass, deterministic=deterministic)
+                    mass_capacity=capacity if need_mass else None,
+                    deterministic=deterministic)
             else:
                 flat_v = jnp.concatenate([
                     mem_v.reshape(b, capacity * hw, -1),
@@ -154,8 +156,8 @@ class GPMBlock(nn.Module):
                     q_time, flat_k, flat_v, cat_curr_u, size_2d,
                     key_bias=bias, return_probs=need_mass,
                     deterministic=deterministic)
-            mass = (frame_mass_from_probs(probs, capacity)
-                    if need_mass else None)
+                mass = (frame_mass_from_probs(probs, capacity)
+                        if need_mass else None)
 
         cat_local_v = jnp.concatenate([local_v, local_id_v], axis=-1)
         cat_tgt3, _ = self.short_term_attn(

@@ -100,7 +100,7 @@ class LSTTBlock(nn.Module):
         # --- self attention (reference :566-571) ---
         _tgt = self.norm1(tgt)
         q = k = _tgt if self_pos is None else _tgt + self_pos
-        tgt2, _ = self.self_attn(q, k, _tgt)
+        tgt2, _ = self.self_attn(q, k, _tgt, deterministic=deterministic)
         tgt = tgt + self.drop_path(tgt2, deterministic)
 
         # --- long-term attention (reference :574-648) ---
@@ -146,23 +146,28 @@ class LSTTBlock(nn.Module):
             flat_v = mem_v.reshape(mem_v.shape[0], capacity * hw, -1)
             bias = (None if capacity == 1
                     else bank_key_bias(length, capacity, hw))
-            tgt2, probs = self.long_term_attn(q_time, flat_k, flat_v,
-                                              key_bias=bias,
-                                              return_probs=need_mass)
-            mass = (frame_mass_from_probs(probs, capacity)
-                    if need_mass else None)
+            # eviction mass reduced inside the attention call: returning
+            # the full [B, H, HWq, T*HW] float32 probs just to sum them
+            # costs an extra bank-sized materialization (270 MB at 8-head
+            # AOT-L eval shapes)
+            tgt2, mass = self.long_term_attn(
+                q_time, flat_k, flat_v, key_bias=bias,
+                mass_capacity=capacity if need_mass else None,
+                deterministic=deterministic)
 
         # --- short-term attention (reference :650-662) ---
         if self.linear_q:
             tgt3, _ = self.short_term_attn(
                 curr_q,
                 jnp.concatenate([local_k, curr_k], axis=1),
-                jnp.concatenate([local_v_in, curr_v], axis=1))
+                jnp.concatenate([local_v_in, curr_v], axis=1),
+                deterministic=deterministic)
         else:
             tgt3, _ = self.short_term_attn(
                 curr_q,
                 self.norm4(local_k + curr_k),
-                self.norm4(local_v_in + curr_v))
+                self.norm4(local_v_in + curr_v),
+                deterministic=deterministic)
 
         new_local_k = self.linear_QMem(tgt3)
         new_local_v = tgt3

@@ -38,16 +38,40 @@ def merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
+def _maybe_compact_logits(logits, in_dtype, compact: bool):
+    """Round the materialized attention logits to bf16 when the inputs are
+    bf16 and the caller opted in (eval only): the softmax chain reads the
+    [Lq, Lk] logits ~3x (max, exp+sum, div) and at DeAOT eval shapes the
+    f32 bank logits are 34 MB/layer — the dominant non-MXU HBM term of
+    the frame. The softmax arithmetic stays float32 (upcast below);
+    only the storage rounds, bounding the logit error at bf16 epsilon.
+    Training and all f32 paths are unchanged (exact reference parity)."""
+    if compact and in_dtype == jnp.bfloat16 and logits.dtype != in_dtype:
+        return logits.astype(jnp.bfloat16)
+    return logits
+
+
+def _softmax_f32(logits, axis=-1):
+    """Softmax with float32 reduction arithmetic regardless of storage."""
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=axis)
+
+
 def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
                          key_bias=None, return_probs: bool = False,
-                         dropout_rate: float = 0.0, dropout_rng=None):
+                         dropout_rate: float = 0.0, dropout_rng=None,
+                         compact_logits: bool = False,
+                         mass_capacity: Optional[int] = None):
     """q: [B, Lq, H*Dq], k: [B, Lk, H*Dq], v: [B, Lk, H*Dv].
 
     scale defaults to 1/sqrt(Dq). key_bias: broadcastable to [B, H, Lq, Lk],
     added to logits before softmax. dropout_rate > 0 with an rng applies
     train-time dropout to the attention probabilities (reference
     attention.py:61 / the SDPA dropout_p at :66-72).
-    Returns (out [B, Lq, H*Dv], probs|None).
+    Returns (out [B, Lq, H*Dv], aux) where aux is the per-slot eviction
+    mass [B, Lq, T] when mass_capacity=T is given (reduced in place so the
+    [B, H, Lq, Lk] float32 probs never escape the softmax fusion —
+    numerics identical to frame_mass_from_probs), else the full probs
+    when return_probs, else None.
     """
     qh = split_heads(q, num_heads)
     kh = split_heads(k, num_heads)
@@ -58,7 +82,8 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
                         preferred_element_type=jnp.float32)
     if key_bias is not None:
         logits = logits + key_bias
-    probs = jax.nn.softmax(logits, axis=-1)
+    logits = _maybe_compact_logits(logits, q.dtype, compact_logits)
+    probs = _softmax_f32(logits, axis=-1)
     attn = probs
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = 1.0 - dropout_rate
@@ -67,6 +92,12 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
     out = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(vh.dtype), vh,
                      preferred_element_type=jnp.float32).astype(v.dtype)
     out = merge_heads(out)
+    if mass_capacity is not None:
+        b, h, nq, nk = probs.shape
+        mass = jnp.sum(jnp.mean(
+            probs.reshape(b, h, nq, mass_capacity, nk // mass_capacity),
+            axis=1), axis=-1)
+        return out, mass
     return (out, probs) if return_probs else (out, None)
 
 
@@ -111,6 +142,7 @@ class MultiheadAttention(nn.Module):
         self.projection = nn.Dense(self.d_model)
 
     def __call__(self, q, k, v, key_bias=None, return_probs: bool = False,
+                 mass_capacity: Optional[int] = None,
                  deterministic: bool = True):
         if self.use_linear:
             q = self.linear_Q(q)
@@ -118,12 +150,14 @@ class MultiheadAttention(nn.Module):
             v = self.linear_V(v)
         drng = (self.make_rng('dropout')
                 if self.dropout > 0.0 and not deterministic else None)
-        out, probs = scaled_dot_attention(q, k, v, self.num_heads,
-                                          key_bias=key_bias,
-                                          return_probs=return_probs,
-                                          dropout_rate=self.dropout,
-                                          dropout_rng=drng)
-        return self.projection(out), probs
+        out, aux = scaled_dot_attention(q, k, v, self.num_heads,
+                                        key_bias=key_bias,
+                                        return_probs=return_probs,
+                                        dropout_rate=self.dropout,
+                                        dropout_rng=drng,
+                                        compact_logits=deterministic,
+                                        mass_capacity=mass_capacity)
+        return self.projection(out), aux
 
     def bank_read(self, q, k_bank, v_bank, length, mem_pe=None,
                   want_mass: bool = True):
@@ -204,12 +238,14 @@ class GatedPropagation(nn.Module):
                                           key_bias=key_bias,
                                           return_probs=return_probs,
                                           dropout_rate=self.dropout,
-                                          dropout_rng=drng)
+                                          dropout_rng=drng,
+                                          compact_logits=deterministic)
         out = self._gate_and_project(out, u, size_2d, deterministic)
         return out, probs
 
     def multi_value_call(self, q, k, vs, u, size_2d, key_bias=None,
                          return_probs: bool = False,
+                         mass_capacity: Optional[int] = None,
                          deterministic: bool = True):
         """Single-head gated attention sharing ONE probability matrix across
         several value banks: returns concat_i(P @ vs[i]) gated+projected.
@@ -228,7 +264,8 @@ class GatedPropagation(nn.Module):
         if key_bias is not None:
             # [B, 1, 1, K] (bank_key_bias layout) or broadcastable
             logits = logits + key_bias.reshape(key_bias.shape[0], 1, -1)
-        probs = jax.nn.softmax(logits, axis=-1)
+        logits = _maybe_compact_logits(logits, q.dtype, deterministic)
+        probs = _softmax_f32(logits, axis=-1)
         attn = probs
         if self.dropout > 0.0 and not deterministic:
             keep = 1.0 - self.dropout
@@ -240,6 +277,16 @@ class GatedPropagation(nn.Module):
                         preferred_element_type=jnp.float32).astype(v.dtype)
              for v in vs], axis=-1)
         out = self._gate_and_project(out, u, size_2d, deterministic)
+        if mass_capacity is not None:
+            # per-slot attention mass for RMem eviction, reduced in place:
+            # returning the full [B, Q, K] float32 probs forces XLA to
+            # materialize an extra ~34 MB copy of it at eval shapes just
+            # to hand it to an external sum (numerics identical to
+            # frame_mass_from_probs on a 1-head probs tensor)
+            b, nq, nk = probs.shape
+            mass = jnp.sum(probs.reshape(b, nq, mass_capacity,
+                                         nk // mass_capacity), axis=-1)
+            return out, mass
         return out, (probs[:, None] if return_probs else None)
 
     def bank_read(self, q, k_bank, v_bank, id_v_bank, u, length, size_2d,
@@ -439,7 +486,8 @@ class LocalGatedPropagation(nn.Module):
         else:
             bias = _scatter_bias_to_padded_grid(rel, h, w, ws)
         logits = logits + bias + jnp.where(mask, 0.0, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
+        logits = _maybe_compact_logits(logits, q.dtype, deterministic)
+        probs = _softmax_f32(logits, axis=-1)
         if self.dropout > 0.0 and not deterministic:
             # train-time dropout on the local attention probabilities
             # (reference attention.py:348)

@@ -94,6 +94,31 @@ class DWConv2d(nn.Module):
         return x
 
 
+def max_pool_3x3_s2(x):
+    """3x3 / stride-2 / pad-1 max pool (NHWC) as separable slice-max.
+
+    `nn.max_pool` lowers to one reduce-window kernel that runs ~25x off
+    HBM bandwidth on v5e (~80 us for the R50 stem's [89,157,64] grid);
+    three shifted strided slices + two maximums per axis express the
+    identical max as elementwise ops that fuse with their neighbours.
+    Bit-identical to the reference's nn.MaxPool2d(3, 2, 1): same window
+    extents, -inf padding."""
+    h, w = x.shape[1], x.shape[2]
+    ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+
+    def axis_max(a, axis: int, out: int):
+        sl = lambda k: jax.lax.slice_in_dim(a, k, k + 2 * (out - 1) + 1,
+                                            stride=2, axis=axis)
+        return jnp.maximum(jnp.maximum(sl(0), sl(1)), sl(2))
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                 constant_values=-jnp.inf)
+    x = axis_max(xp, 1, ho)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                 constant_values=-jnp.inf)
+    return axis_max(xp, 2, wo)
+
+
 def drop_path(x, rate: float, deterministic: bool, rng=None):
     """Stochastic depth over the batch axis (reference: basic.py:98-117,
     batch_dim=1 there because of [L,B,C]; batch is axis 0 here)."""

@@ -192,3 +192,15 @@ def test_gpm_multi_value_call_matches_folded_concat():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_probs), np.asarray(want_probs),
                                rtol=1e-6, atol=1e-6)
+
+    # in-place eviction mass == frame_mass_from_probs on the full probs
+    from rmem_ocu_tpu.models.lstt import frame_mass_from_probs
+    got2, got_mass = gp.apply(params, q, k, (v1, v2), u, size_2d,
+                              key_bias=bias, mass_capacity=T,
+                              method=GatedPropagation.multi_value_call)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_mass),
+        np.asarray(frame_mass_from_probs(want_probs, T)),
+        rtol=1e-6, atol=1e-6)
