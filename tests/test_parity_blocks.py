@@ -204,3 +204,28 @@ def test_gpm_multi_value_call_matches_folded_concat():
         np.asarray(got_mass),
         np.asarray(frame_mass_from_probs(want_probs, T)),
         rtol=1e-6, atol=1e-6)
+
+
+def test_multihead_fused_mass_matches_frame_mass_from_probs():
+    """scaled_dot_attention(mass_capacity=T) must reduce the eviction mass
+    exactly like frame_mass_from_probs on the full returned probs — incl.
+    the multi-head mean (the 1-head GPM variant is covered above; LSTT
+    AOT-L runs this path with att_heads=8)."""
+    from rmem_ocu_tpu.models.lstt import frame_mass_from_probs
+    from rmem_ocu_tpu.ops.attention import scaled_dot_attention
+
+    B, HW, T, H, D = 2, 12, 5, 4, 32
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(B, HW, H * D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, T * HW, H * D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, T * HW, H * D), jnp.float32)
+
+    out_ref, probs = scaled_dot_attention(q, k, v, num_heads=H,
+                                          return_probs=True)
+    want = frame_mass_from_probs(probs, T)
+    out, mass = scaled_dot_attention(q, k, v, num_heads=H, mass_capacity=T)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mass), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    assert mass.shape == (B, HW, T)
