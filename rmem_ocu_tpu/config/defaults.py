@@ -73,6 +73,12 @@ class ModelConfig:
     use_mask: bool = False                # topdown-encoder mask conditioning
     oracle: bool = False
     var_loss_weight: Optional[float] = None  # topdown reconstruction loss
+    # Reference configs/models/r50_topdown_aotl.py:7 + configs/default.py:121:
+    # when set, the engine config forces TRAIN_ENCODER_FREEZE_AT = 4 (freeze
+    # the whole backbone below the topdown feedback decoders). Coupling is
+    # applied in get_config (the composition layer), so an explicit
+    # train_encoder_freeze_at override still wins, like the reference CLI.
+    top_down_freeze_encoder: bool = False
 
     def __post_init__(self):
         # ORACLE implies mask conditioning (reference
@@ -165,6 +171,10 @@ class ExpConfig:
     train_lr_encoder_ratio: float = 0.1
     train_lr_warm_up_ratio: float = 0.05
     train_lr_cosine_decay: bool = False
+    # LR-schedule restarts (reference configs/default.py:93 TRAIN_LR_RESTART,
+    # consumed at trainer.py:483 / utils/learning.py:16-19): split the run
+    # into N identical warmup+decay cycles (warmup steps shrink by 1/N).
+    train_lr_restart: int = 1
     train_aux_loss_weight: float = 1.0
     train_aux_loss_ratio: float = 1.0
     train_opt: str = 'adamw'
@@ -236,6 +246,10 @@ class ExpConfig:
     test_aggregation: str = 'soft'
     test_flip: bool = False
     test_multiscale: Tuple[float, ...] = (1.0,)
+    # DAVIS Full-Resolution vs 480p image root (reference
+    # configs/default.py TEST_DATASET_FULL_RESOLUTION, consumed at
+    # evaluator.py:171-197)
+    test_dataset_full_resolution: bool = False
     test_min_size: Optional[int] = None
     test_max_size: float = 800 * 1.3
     # reference DataLoader worker count; eval here is synchronous with
@@ -432,6 +446,7 @@ def get_config(stage: str, exp_name: str = 'default',
     """Compose stage + model the way tools/get_config.py:4-6 does by import."""
     model_cfg = get_model_config(model)
     cfg = STAGE_REGISTRY[stage](model_cfg, exp_name)
+    exp_overrides = {}
     if overrides:
         model_overrides = {k: v for k, v in overrides.items()
                            if k in {f.name for f in
@@ -442,6 +457,10 @@ def get_config(stage: str, exp_name: str = 'default',
             model_overrides = _couple_no_memory_gap(cfg.model,
                                                     model_overrides)
             cfg = replace(cfg, model=replace(cfg.model, **model_overrides))
-        if exp_overrides:
-            cfg = replace(cfg, **exp_overrides)
+    if cfg.model.top_down_freeze_encoder:
+        # reference configs/default.py:121; an explicit CLI/exp
+        # train_encoder_freeze_at override below still wins
+        cfg = replace(cfg, train_encoder_freeze_at=4)
+    if exp_overrides:
+        cfg = replace(cfg, **exp_overrides)
     return cfg

@@ -9,6 +9,7 @@ scheduled LR, not a constant multiple) matches the reference exactly.
 """
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import jax
@@ -27,11 +28,18 @@ def path_str(keypath) -> str:
 
 def schedule_lr(step, exp: ExpConfig):
     """Linear warmup -> poly(power) or cosine decay
-    (reference utils/learning.py:22-34)."""
+    (reference utils/learning.py:22-34), optionally split into
+    TRAIN_LR_RESTART identical cycles (learning.py:16-19: each cycle is
+    ceil(total/restart) steps with warmup shrunk by 1/restart)."""
     base, mn = exp.train_lr, exp.train_lr_min
     max_itr = exp.train_total_steps
     warm = exp.train_lr_warm_up_ratio * max_itr
     step = jnp.asarray(step, jnp.float32)
+    if exp.train_lr_restart > 1:
+        each = float(math.ceil(max_itr / exp.train_lr_restart))
+        warm = warm / exp.train_lr_restart
+        max_itr = each
+        step = jnp.mod(step, each)
 
     warm_lr = mn + (base - mn) * step / warm
     it = step - warm
