@@ -130,7 +130,7 @@ class Evaluator:
 
     def __init__(self, model: VOSModel, params, exp: ExpConfig,
                  result_root: str, rank: int = 0, world: int = 1,
-                 frame_log: bool = False):
+                 frame_log: bool = False, probe: bool = False):
         self.model = model
         self.params = params
         self.exp = exp
@@ -141,6 +141,9 @@ class Evaluator:
         # per-frame timing prints (reference TEST_FRAME_LOG,
         # evaluator.py:530-536)
         self.frame_log = frame_log
+        # per-frame fixed-pixel logit probe (reference DEBUG_FIX_RANDOM
+        # determinism harness, evaluator.py:424-425)
+        self.probe = probe
         # one engine for the whole dataset: the adaptive per-sequence gap is
         # dynamic state (EngineState.mem_gap), so sequences at the same
         # resolution share compilations
@@ -274,6 +277,14 @@ class Evaluator:
                                                  cfg.align_corners)
                 logits_ori = self.aggregate(
                     logits_up, base.obj_num, group_size)
+                if self.probe:
+                    # determinism probe: first 7 channels at a fixed pixel
+                    # (reference DEBUG_FIX_RANDOM, evaluator.py:424-425)
+                    py, px = (min(100, ori_size[0] - 1),
+                              min(100, ori_size[1] - 1))
+                    vals = np.asarray(logits_ori[0, py, px, :7])
+                    print(f'\n [{self.rank}] : {seq_name} {base.name} '
+                          f'logits[{py},{px},:7] = {vals}')
                 if aug.flip:
                     logits_ori = logits_ori[:, :, ::-1]
                 prob = jax.nn.softmax(logits_ori.astype(jnp.float32), -1)

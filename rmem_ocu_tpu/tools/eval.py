@@ -54,8 +54,17 @@ def parse_args():
                    help='pin the long-term write gap; default is the '
                         "reference's per-sequence adaptive "
                         'max(round(frames/30), 5) (evaluator.py:331-335)')
+    p.add_argument('--full_resolution', action='store_true',
+                   help='DAVIS Full-Resolution image root instead of 480p '
+                        '(reference TEST_DATASET_FULL_RESOLUTION, '
+                        'evaluator.py:171-197); also '
+                        'exp.test_dataset_full_resolution enables it')
     p.add_argument('--frame_log', action='store_true',
                    help='print per-frame latency (reference TEST_FRAME_LOG)')
+    p.add_argument('--probe', action='store_true',
+                   help='print first-7-channel logits at a fixed pixel each '
+                        'frame for run-to-run determinism comparison '
+                        '(reference --debug_fix_random, evaluator.py:424)')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 activations + params (TPU serving path)')
     p.add_argument('--oracle', action='store_true',
@@ -201,13 +210,23 @@ def main():
     root = args.data_root or exp.dir_data
     if args.dataset in ('davis2016', 'davis2017'):
         year = 2016 if args.dataset == 'davis2016' else 2017
+        full_res = (args.full_resolution
+                    or exp.test_dataset_full_resolution)
         dataset = ds.build_davis_dataset(root, args.split, year,
+                                         full_res=full_res,
                                          result_root=output, **seq_kw)
     elif args.dataset == 'vost':
         dataset = ds.build_vost_dataset(root, args.split, oracle=args.oracle,
                                         result_root=output, **seq_kw)
     elif args.dataset == 'youtubevos':
-        dataset = ds.build_youtubevos_dataset(root, split=args.split,
+        # the reference selects the dense every-frame split by the
+        # '_all_frames' suffix in TEST_DATASET_SPLIT (evaluator.py:145-147)
+        split = args.split
+        all_frames = '_all_frames' in split
+        if all_frames:
+            split = split.replace('_all_frames', '')
+        dataset = ds.build_youtubevos_dataset(root, split=split,
+                                              all_frames=all_frames,
                                               result_root=output, **seq_kw)
     elif args.dataset == 'long_videos':
         dataset = ds.build_long_videos_dataset(root, result_root=output,
@@ -217,7 +236,7 @@ def main():
 
     ev = Evaluator(model, params, exp, output,
                    rank=jax.process_index(), world=jax.process_count(),
-                   frame_log=args.frame_log)
+                   frame_log=args.frame_log, probe=args.probe)
     stats = ev.evaluate(dataset)
     print(f'done: {stats.total_frames} frames, '
           f'p50 {stats.p50_latency_ms:.1f}ms, '
