@@ -278,6 +278,11 @@ class ExpConfig:
     # the halo exchanges) while the LSTT keeps its tensor-parallel specs.
     # No-op on a mesh without a model axis.
     train_spatial_sharding: bool = False
+    # ZeRO stage 1 (TPU-native, no reference equivalent — DDP replicates
+    # optimizer state per rank): shard the Adam/SGD moment trees over the
+    # `data` axis; GSPMD all-gathers the parameter updates. Cuts optimizer
+    # HBM per device to 1/dp. No-op on a 1-device data axis.
+    train_zero1: bool = False
 
     def dir_result(self) -> str:
         import os

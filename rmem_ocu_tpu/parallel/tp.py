@@ -91,14 +91,49 @@ def shard_params(params: Any, mesh: Mesh):
     return jax.tree.map(jax.device_put, params, state_shardings(params, mesh))
 
 
-def state_shardings(state: Any, mesh: Mesh):
+# optax state fields holding per-parameter moments: Adam's mu/nu
+# (scale_by_adam) and SGD's momentum buffer (trace)
+_OPT_MOMENTS = frozenset({'mu', 'nu', 'trace'})
+
+
+def _zero1_spec(spec: P, shape, dp: int) -> P:
+    """Additionally shard one free dimension over `data` (ZeRO-1).
+
+    Picks the largest dim divisible by the data-axis size that the TP
+    spec left unsharded; leaves the spec unchanged (replicated moment)
+    when no dim qualifies — correct, just not distributed."""
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_size = None, 0
+    for d, n in enumerate(shape):
+        if entries[d] is None and n % dp == 0 and n > best_size:
+            best, best_size = d, n
+    if best is None:
+        return spec
+    entries[best] = 'data'
+    return P(*entries)
+
+
+def state_shardings(state: Any, mesh: Mesh, zero1: bool = False):
     """A `state`-shaped tree of NamedShardings: TP specs where the mesh
-    has a non-trivial `model` axis, fully-replicated otherwise."""
-    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get('model', 1)
-    if tp <= 1:
+    has a non-trivial `model` axis, fully-replicated otherwise.
+
+    zero1=True additionally shards the optimizer moment trees (mu/nu/
+    trace) over the `data` axis — ZeRO stage 1, the TPU-native analogue
+    of optimizer-state sharding: the moments and their elementwise update
+    live 1/dp per device and GSPMD all-gathers the parameter updates
+    (the reference's DDP replicates optimizer state on every rank)."""
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    tp = axes.get('model', 1)
+    dp = axes.get('data', 1)
+    zero1 = zero1 and dp > 1
+    if tp <= 1 and not zero1:
         repl = NamedSharding(mesh, P())
         return jax.tree.map(lambda _: repl, state)
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh,
-                                         tp_param_spec(path, leaf, tp)),
-        state)
+
+    def spec_for(path, leaf):
+        spec = tp_param_spec(path, leaf, tp) if tp > 1 else P()
+        if zero1 and any(n in _OPT_MOMENTS for n in _path_names(path)):
+            spec = _zero1_spec(spec, np.shape(leaf), dp)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, state)

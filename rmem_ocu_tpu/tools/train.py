@@ -61,6 +61,10 @@ def parse_args():
                         'data x 2-way tensor parallel over the LSTT '
                         '(parallel/tp.py); default: all devices on one '
                         'data axis')
+    p.add_argument('--zero1', action='store_true',
+                   help='ZeRO stage 1: shard the optimizer moment trees '
+                        'over the data axis (GSPMD all-gathers the '
+                        'updates); cuts optimizer HBM per device to 1/dp')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed (one process per host; '
                         'replaces the reference mp.spawn + gloo DDP, '
@@ -190,6 +194,8 @@ def main():
         overrides['train_tblog'] = True
     if args.amp:
         overrides['train_amp'] = True
+    if args.zero1:
+        overrides['train_zero1'] = True
     if args.enc_chunk:
         overrides['train_encoder_chunk'] = args.enc_chunk
     if args.remat:

@@ -85,7 +85,8 @@ class Trainer:
         the host-local trees produced by init_state / checkpoint restore
         must be converted once after construction (replaces the
         reference's DDP module broadcast, trainer.py:107-113)."""
-        shardings = tp.state_shardings(state, self.mesh)
+        shardings = tp.state_shardings(state, self.mesh,
+                                       zero1=self.exp.train_zero1)
         if jax.process_count() == 1:
             return jax.tree.map(jax.device_put, state, shardings)
         return jax.tree.map(
@@ -208,8 +209,10 @@ class Trainer:
             data_sharding = NamedSharding(self.mesh, P('data'))
             repl = NamedSharding(self.mesh, P())
             # TP specs where the mesh has a model axis, replicated
-            # otherwise (then this is exactly the old P() everywhere)
-            state_sh = tp.state_shardings(state, self.mesh)
+            # otherwise (then this is exactly the old P() everywhere);
+            # zero1 additionally shards the optimizer moments over `data`
+            state_sh = tp.state_shardings(state, self.mesh,
+                                          zero1=self.exp.train_zero1)
             fn = functools.partial(self._train_step,
                                    use_prev_pred=use_prev_pred,
                                    extra_frozen=extra_frozen)
