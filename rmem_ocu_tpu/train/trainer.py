@@ -88,7 +88,11 @@ class Trainer:
         shardings = tp.state_shardings(state, self.mesh,
                                        zero1=self.exp.train_zero1)
         if jax.process_count() == 1:
-            return jax.tree.map(jax.device_put, state, shardings)
+            # one batched transfer for the whole tree — per-leaf
+            # device_put compiles one tiny reshard program per leaf
+            # (hundreds), which dominates dryrun cold time on a 1-core
+            # host; the batched form issues them in one dispatch
+            return jax.device_put(state, shardings)
         return jax.tree.map(
             lambda x, s: jax.make_array_from_process_local_data(
                 s, np.asarray(x)), state, shardings)
@@ -105,11 +109,17 @@ class Trainer:
                     data, np.asarray(v)) for k, v in batch.items()}
 
     # -------------------------------------------------------------- #
-    def init_state(self, rng, sample_frames, sample_masks) -> TrainState:
+    def init_state(self, rng, sample_frames, sample_masks,
+                   jit_init: bool = False) -> TrainState:
         b, t, h, w, _ = sample_frames.shape
         img = sample_frames[:1, 0]
         oh = jnp.zeros((1, h, w, self.model.cfg.id_dim))
-        params = self.model.init(rng, img, oh)
+        # jit_init compiles the whole init as ONE cacheable XLA program
+        # instead of hundreds of op-by-op dispatches — on the 1-core CPU
+        # dryrun host that's 28 s cold / ~1 s from the persistent cache vs
+        # 41 s eager every time (values are identical either way).
+        init_fn = jax.jit(self.model.init) if jit_init else self.model.init
+        params = init_fn(rng, img, oh)
         if self.tx is None:
             self.tx = optim.make_optimizer(self.exp, params)
         opt_state = self.tx.init(params)
