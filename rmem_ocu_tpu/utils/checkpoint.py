@@ -17,8 +17,20 @@ def _ckpt_dir(root: str) -> str:
     return os.path.abspath(root)
 
 
-def save_checkpoint(root: str, step: int, state, max_keep: int = 8):
+def backup_root_for(root: str) -> str:
+    """The sibling directory a failed primary write falls back to."""
+    return _ckpt_dir(root).rstrip('/') + '_backup'
+
+
+def save_checkpoint(root: str, step: int, state, max_keep: int = 8,
+                    backup_root: Optional[str] = None):
     """Save TrainState at `root/step_<N>`; prune to max_keep newest.
+
+    If the primary write fails (full/read-only/transient FS error), retry
+    once into `backup_root` (default `<root>_backup`) so a 20k-step run
+    doesn't lose its state to one bad write — the reference's backup_dir
+    fallback (utils/checkpoint.py:118-130, wired at trainer.py:672).
+    Raises only if the backup write fails too.
 
     COLLECTIVE under multi-host: every process must call this (Orbax
     coordinates across `jax.distributed`; a rank-0-only call deadlocks or
@@ -27,18 +39,34 @@ def save_checkpoint(root: str, step: int, state, max_keep: int = 8):
     per rank — the mesh-sharded equivalent is the all-process save."""
     import jax
     import orbax.checkpoint as ocp
-    path = os.path.join(_ckpt_dir(root), f'step_{step}')
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
-    ckptr.wait_until_finished()
-    # prune after all processes finished writing; fs mutation on rank 0
-    # only (save() above already synchronized the processes)
-    if jax.process_index() == 0:
-        steps = list_checkpoint_steps(root)
-        for s in steps[:-max_keep]:
-            import shutil
-            shutil.rmtree(os.path.join(_ckpt_dir(root), f'step_{s}'),
-                          ignore_errors=True)
+
+    def _write(dest_root: str):
+        path = os.path.join(_ckpt_dir(dest_root), f'step_{step}')
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state)
+        ckptr.wait_until_finished()
+        # prune after all processes finished writing; fs mutation on rank
+        # 0 only (save() above already synchronized the processes)
+        if jax.process_index() == 0:
+            steps = list_checkpoint_steps(dest_root)
+            for s in steps[:-max_keep]:
+                import shutil
+                shutil.rmtree(
+                    os.path.join(_ckpt_dir(dest_root), f'step_{s}'),
+                    ignore_errors=True)
+
+    try:
+        _write(root)
+    except Exception as e:  # noqa: BLE001 — any write failure falls back
+        backup = backup_root or backup_root_for(root)
+        print(f'save_checkpoint: primary write to {root!r} failed '
+              f'({type(e).__name__}: {e}); retrying into {backup!r}')
+        # a half-written primary step dir must not shadow the backup copy
+        # at restore time; best-effort removal (may itself be read-only)
+        import shutil
+        shutil.rmtree(os.path.join(_ckpt_dir(root), f'step_{step}'),
+                      ignore_errors=True)
+        _write(backup)
 
 
 def list_checkpoint_steps(root: str):
@@ -54,13 +82,26 @@ def list_checkpoint_steps(root: str):
 
 def restore_checkpoint(root: str, target, step: Optional[int] = None):
     """Restore the given (or latest) step into the `target` pytree
-    structure. Returns (state, step) or (None, None)."""
+    structure. Returns (state, step) or (None, None).
+
+    Auto-resume also consults `<root>_backup` (where save_checkpoint
+    lands after a failed primary write) and restores whichever root
+    holds the newest step, so a run that fell back keeps resuming."""
     import orbax.checkpoint as ocp
-    steps = list_checkpoint_steps(root)
-    if not steps:
-        return None, None
-    step = steps[-1] if step is None else step
-    path = os.path.join(_ckpt_dir(root), f'step_{step}')
+    candidates = {root: list_checkpoint_steps(root),
+                  backup_root_for(root): list_checkpoint_steps(
+                      backup_root_for(root))}
+    if step is None:
+        src, steps = max(candidates.items(),
+                         key=lambda kv: kv[1][-1] if kv[1] else -1)
+        if not steps:
+            return None, None
+        step = steps[-1]
+    else:
+        src = next((r for r, ss in candidates.items() if step in ss), None)
+        if src is None:
+            return None, None
+    path = os.path.join(_ckpt_dir(src), f'step_{step}')
     ckptr = ocp.StandardCheckpointer()
     state = ckptr.restore(path, target)
     return state, step

@@ -87,6 +87,53 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree.leaves(state.params)[0]))
 
 
+def test_checkpoint_backup_fallback(tmp_path, monkeypatch):
+    """A failed primary write lands in <root>_backup and auto-resume
+    finds it there (reference utils/checkpoint.py:118-130 backup_dir).
+
+    The failure is injected by wrapping the Orbax save (the suite runs
+    as root, so a chmod-read-only directory would not actually fail)."""
+    import orbax.checkpoint as ocp
+    from jax.sharding import Mesh
+    from rmem_ocu_tpu.models import build_vos_model
+    from rmem_ocu_tpu.train import Trainer
+    from rmem_ocu_tpu.utils import checkpoint as ckpt
+
+    exp = _exp(train_total_steps=10)
+    model = build_vos_model(exp.model)
+    trainer = Trainer(model, exp,
+                      mesh=Mesh(np.asarray(jax.devices()[:1]), ('data',)))
+    frames = jnp.zeros((1, 3, 49, 49, 3))
+    masks = jnp.zeros((1, 3, 49, 49), jnp.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), frames, masks)
+
+    root = str(tmp_path / 'ckpt')
+    ckpt.save_checkpoint(root, 5, state)  # healthy primary write
+
+    real_save = ocp.StandardCheckpointer.save
+
+    def failing_save(self, path, *a, **kw):
+        if str(path).startswith(root + '/'):
+            raise OSError(28, 'No space left on device', str(path))
+        return real_save(self, path, *a, **kw)
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, 'save', failing_save)
+    ckpt.save_checkpoint(root, 10, state)
+    monkeypatch.setattr(ocp.StandardCheckpointer, 'save', real_save)
+    backup = ckpt.backup_root_for(root)
+    assert ckpt.list_checkpoint_steps(backup) == [10]
+
+    # auto-resume picks the newest step across primary + backup
+    restored, step = ckpt.restore_checkpoint(root, state)
+    assert step == 10
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+    # an explicit older step still resolves to the primary
+    _, step5 = ckpt.restore_checkpoint(root, state, step=5)
+    assert step5 == 5
+
+
 def test_torch_pretrained_id_bank_pad(tmp_path):
     """The reference pads the id-bank input channel when loading pre-ignore
     checkpoints (utils/checkpoint.py:89-91)."""
