@@ -50,6 +50,10 @@ def parse_args():
                    help='defaults to exp.test_multiscale')
     p.add_argument('--former_mem_len', type=int, default=None)
     p.add_argument('--latter_mem_len', type=int, default=None)
+    p.add_argument('--vanilla', action='store_true',
+                   help='RMem-off configuration (no temporal memory PE); '
+                        'for evaluating the reference-published vanilla '
+                        'checkpoints (tools/accept.py)')
     p.add_argument('--gap', type=int, default=None,
                    help='pin the long-term write gap; default is the '
                         "reference's per-sequence adaptive "
@@ -64,7 +68,11 @@ def parse_args():
     p.add_argument('--probe', action='store_true',
                    help='print first-7-channel logits at a fixed pixel each '
                         'frame for run-to-run determinism comparison '
-                        '(reference --debug_fix_random, evaluator.py:424)')
+                        '(reference --debug_fix_random, evaluator.py:424). '
+                        'Values are sampled AFTER aggregation/flip merging, '
+                        'so they compare run-to-run within this framework '
+                        'only — not against reference debug prints, which '
+                        'sample the raw per-engine logits')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 activations + params (TPU serving path)')
     p.add_argument('--oracle', action='store_true',
@@ -110,6 +118,8 @@ def main():
     model_overrides = {}
     if args.oracle:
         model_overrides['oracle'] = True
+    if args.vanilla:
+        model_overrides['use_temporal_pe'] = False
     if args.former_mem_len is not None:
         model_overrides['former_mem_len'] = args.former_mem_len
     if args.latter_mem_len is not None:
@@ -192,6 +202,15 @@ def main():
 
     output = args.output or os.path.join(exp.dir_result(), 'eval',
                                          args.dataset)
+    if args.output is None and args.dataset in ('davis2016', 'davis2017'):
+        # keep 480p and Full-Resolution results separate, like the
+        # reference's 'Annotations/<resolution>' result_root segment
+        # (reference tools/eval.py result layout) — otherwise the two
+        # resolutions' masks and auto-seeded annotations silently mix
+        output = os.path.join(
+            output, 'Full-Resolution'
+            if (args.full_resolution or exp.test_dataset_full_resolution)
+            else '480p')
     os.makedirs(output, exist_ok=True)
     if jax.process_index() == 0:
         from rmem_ocu_tpu.utils.run_utils import Tee

@@ -93,3 +93,58 @@ def test_pipeline_cli_end_to_end(tmp_path, monkeypatch):
     seqs = [d for d in os.listdir(ev) if (ev / d).is_dir()]
     assert seqs, 'eval produced no sequences'
     assert any(f.endswith('.png') for f in os.listdir(ev / seqs[0]))
+
+
+def test_accept_cli_end_to_end(tmp_path, monkeypatch):
+    """tools/accept.py: ckpt + VOST-layout root -> eval -> score -> J/J_tr
+    report, one command (VERDICT round-3 Missing #1; replaces the eval leg
+    of the reference's train_vost.sh:63-79 + hand-diff vs README.md:50-53)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from rmem_ocu_tpu.config import get_config
+    from rmem_ocu_tpu.models import build_vos_model
+    from rmem_ocu_tpu.ops.masks import save_mask_png
+    from rmem_ocu_tpu.train import Trainer
+    from rmem_ocu_tpu.utils import checkpoint as ckpt_io
+
+    monkeypatch.chdir(tmp_path)
+    size = 33
+
+    # synthetic VOST-layout tree: 1 sequence, 4 frames, GT every frame
+    root = tmp_path / 'VOST'
+    (root / 'JPEGImages_10fps' / 'seq').mkdir(parents=True)
+    (root / 'Annotations' / 'seq').mkdir(parents=True)
+    (root / 'ImageSets').mkdir()
+    (root / 'ImageSets' / 'val.txt').write_text('seq\n')
+    rng = np.random.RandomState(0)
+    for t in range(4):
+        Image.fromarray(
+            (rng.rand(size, size, 3) * 255).astype(np.uint8)).save(
+                root / 'JPEGImages_10fps' / 'seq' / f'{t:05d}.jpg')
+        gt = np.zeros((size, size), np.uint8)
+        gt[8:24, 8:24] = 1
+        save_mask_png(gt, str(root / 'Annotations' / 'seq' / f'{t:05d}.png'))
+
+    # native checkpoint for the slim model
+    exp = get_config('pre_vost_2', model='aott')
+    model = build_vos_model(exp.model)
+    trainer = Trainer(model, exp,
+                      mesh=Mesh(np.asarray(jax.devices()[:1]), ('data',)))
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 3, size, size, 3)),
+                               jnp.zeros((1, 3, size, size), jnp.int32))
+    ckpt_dir = str(tmp_path / 'ckpt')
+    ckpt_io.save_checkpoint(ckpt_dir, 1, state)
+
+    from rmem_ocu_tpu.tools import accept
+    out = accept.run(['--ckpt', ckpt_dir, '--vost_root', str(root),
+                      '--model', 'aott', '--gap', '1',
+                      '--output', str(tmp_path / 'accept_out')])
+    assert os.path.isfile(out['csv'])
+    assert np.isfinite(out['J']) and 0.0 <= out['J'] <= 100.0
+    assert np.isfinite(out['J_tr'])
+    assert 'ref_J' not in out      # aott has no published row
+
+    # the flagship models resolve their published row
+    assert accept.PUBLISHED[('r50_deaotl', 'rmem')] == (40.4, 51.8)
