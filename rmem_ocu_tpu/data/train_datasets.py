@@ -127,6 +127,29 @@ class VOSTrainDataset:
                 return ref
         return ref
 
+    def _ref_index_v1(self, rng, seqname, lablist, objs,
+                      min_fg_pixels=200, max_try=5):
+        """Object-consistency reference pick (reference get_ref_index,
+        train_datasets.py:292-317): accept a random annotated frame only
+        if every object it contains is in the episode's `objs` set and it
+        has > min_fg_pixels foreground. The fork's recipes never call it
+        (both its branches use get_ref_index_v2, :485, :510); kept for
+        API parity with the upstream AOT sampler."""
+        bad = set()
+        ref = 0
+        for _ in range(max_try):
+            ref = rng.randint(len(lablist))
+            if ref in bad:
+                continue
+            label = _read_label(os.path.join(self.label_root, seqname,
+                                             lablist[ref]))
+            consistent = all(o == 0 or o in objs
+                             for o in np.unique(label))
+            if int(np.sum(label != 0)) > min_fg_pixels and consistent:
+                break
+            bad.add(ref)
+        return ref
+
     def _gaps(self, rng, n, labels, images, start_ind, max_gap=99,
               max_try=10):
         for _ in range(max_try):

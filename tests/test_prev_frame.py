@@ -82,3 +82,31 @@ def test_prev_frame_layout_decouples_ref(tmp_path):
     # the ref frame is sampled independently of the prev/curr window --
     # with 12 frames it lands somewhere other than prev-1 most of the time
     assert decoupled >= 10, decoupled
+
+
+def test_ref_index_v1_object_consistency(tmp_path):
+    """Upstream get_ref_index v1 (reference train_datasets.py:292-317):
+    a candidate reference frame is rejected unless all its objects are in
+    the episode's object set and it has >200 foreground pixels."""
+    img_root, lab_root, listing = _make_seq(str(tmp_path / 'v1'))
+    # give frame 3 an extra object (id 2) the episode set won't contain
+    extra = np.zeros((64, 64), np.uint8)
+    extra[10:45, 10:45] = 1
+    extra[50:60, 50:60] = 2
+    Image.fromarray(extra).save(
+        os.path.join(lab_root, 'seq', '00003.png'))
+
+    exp = get_config('pre_vost', model='aott')
+    ds = VOSTrainDataset(img_root, lab_root, listing, exp,
+                         rand_gap=1, seq_len=SEQ_LEN, rand_reverse=False,
+                         dynamic_merge=False)
+    labels = listing['seq'][1]
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        ref = ds._ref_index_v1(rng, 'seq', labels, objs={0, 1})
+        assert ref != 3                  # object 2 is not in the set
+    # with the object allowed, frame 3 is eventually accepted
+    rng = np.random.RandomState(0)
+    picks = {ds._ref_index_v1(rng, 'seq', labels, objs={0, 1, 2})
+             for _ in range(50)}
+    assert 3 in picks
