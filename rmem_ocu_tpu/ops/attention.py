@@ -56,6 +56,17 @@ def _softmax_f32(logits, axis=-1):
     return jax.nn.softmax(logits.astype(jnp.float32), axis=axis)
 
 
+def _qk_out_dtype(in_dtype, compact: bool):
+    """Output dtype for the QK logits matmul. On the bf16 eval path the
+    MXU accumulates in f32 and rounds ONCE on write; emitting f32 and
+    compacting afterwards costs a full extra read+write pass over the
+    logits (a 271 MB convert at 8-stream eval shapes — round-4 HLO
+    census). Exactly the `_maybe_compact_logits` rounding, applied at
+    the producer. f32/training paths keep f32 accumulation storage."""
+    return (jnp.bfloat16 if compact and in_dtype == jnp.bfloat16
+            else jnp.float32)
+
+
 def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
                          key_bias=None, return_probs: bool = False,
                          dropout_rate: float = 0.0, dropout_rng=None,
@@ -79,11 +90,16 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
     if scale is None:
         scale = qh.shape[-1] ** -0.5
     logits = jnp.einsum('bhqd,bhkd->bhqk', qh * scale, kh,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=_qk_out_dtype(
+                            q.dtype, compact_logits))
     if key_bias is not None:
-        logits = logits + key_bias
+        logits = logits + key_bias.astype(logits.dtype)
     logits = _maybe_compact_logits(logits, q.dtype, compact_logits)
     probs = _softmax_f32(logits, axis=-1)
+    # bf16 storage for the materialized probs on the bf16 eval path (see
+    # multi_value_call): PV dots cast to bf16 anyway, mass re-accumulates
+    # in f32; halves the largest per-layer HBM array of the frame step.
+    probs = _maybe_compact_logits(probs, q.dtype, compact_logits)
     attn = probs
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = 1.0 - dropout_rate
@@ -93,10 +109,14 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
                      preferred_element_type=jnp.float32).astype(v.dtype)
     out = merge_heads(out)
     if mass_capacity is not None:
+        # head-mean of per-slot mass as a matmul over a [K, T]
+        # block-indicator (see multi_value_call): reads the materialized
+        # probs once in the PV layout, f32 accumulation on the MXU
         b, h, nq, nk = probs.shape
-        mass = jnp.sum(jnp.mean(
-            probs.reshape(b, h, nq, mass_capacity, nk // mass_capacity),
-            axis=1), axis=-1)
+        ind = jnp.repeat(jnp.eye(mass_capacity, dtype=probs.dtype),
+                         nk // mass_capacity, axis=0)
+        mass = jnp.einsum('bhqk,kt->bqt', probs, ind,
+                          preferred_element_type=jnp.float32) / h
         return out, mass
     return (out, probs) if return_probs else (out, None)
 
@@ -260,12 +280,22 @@ class GatedPropagation(nn.Module):
         assert self.num_heads == 1, 'shared-probs split requires one head'
         scale = self.att_dim ** -0.5
         logits = jnp.einsum('bqd,bkd->bqk', q * scale, k,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=_qk_out_dtype(
+                                q.dtype, deterministic))
         if key_bias is not None:
             # [B, 1, 1, K] (bank_key_bias layout) or broadcastable
-            logits = logits + key_bias.reshape(key_bias.shape[0], 1, -1)
+            logits = logits + key_bias.reshape(
+                key_bias.shape[0], 1, -1).astype(logits.dtype)
         logits = _maybe_compact_logits(logits, q.dtype, deterministic)
         probs = _softmax_f32(logits, axis=-1)
+        # round the MATERIALIZED probs to bf16 on the bf16 eval path: the
+        # [B, Q, K] f32 probs is the frame's largest HBM array (34 MB per
+        # layer at 480p B=1; 271 MB at 8 streams, where its write + layout
+        # copy + reads dominate the super-linear stream-scaling term —
+        # round-4 HLO census). Both consumers tolerate bf16 storage: the
+        # PV dots cast to bf16 anyway and the eviction mass re-accumulates
+        # in f32 below. f32/training paths unchanged (reference parity).
+        probs = _maybe_compact_logits(probs, q.dtype, deterministic)
         attn = probs
         if self.dropout > 0.0 and not deterministic:
             keep = 1.0 - self.dropout
@@ -278,14 +308,19 @@ class GatedPropagation(nn.Module):
              for v in vs], axis=-1)
         out = self._gate_and_project(out, u, size_2d, deterministic)
         if mass_capacity is not None:
-            # per-slot attention mass for RMem eviction, reduced in place:
-            # returning the full [B, Q, K] float32 probs forces XLA to
-            # materialize an extra ~34 MB copy of it at eval shapes just
-            # to hand it to an external sum (numerics identical to
-            # frame_mass_from_probs on a 1-head probs tensor)
+            # per-slot attention mass for RMem eviction (numerics:
+            # frame_mass_from_probs on a 1-head probs tensor, f32
+            # accumulation). Computed as a matmul against a [K, T]
+            # block-indicator so the MXU reads the materialized probs in
+            # the PV dots' layout: the reshape+reduce form forced XLA to
+            # materialize an f32 CONVERT of the whole [B, Q, K] probs
+            # plus a layout copy (271 MB each at 8 streams — the largest
+            # super-linear stream-scaling term, round-4 HLO census).
             b, nq, nk = probs.shape
-            mass = jnp.sum(probs.reshape(b, nq, mass_capacity,
-                                         nk // mass_capacity), axis=-1)
+            ind = jnp.repeat(jnp.eye(mass_capacity, dtype=probs.dtype),
+                             nk // mass_capacity, axis=0)
+            mass = jnp.einsum('bqk,kt->bqt', probs, ind,
+                              preferred_element_type=jnp.float32)
             return out, mass
         return out, (probs[:, None] if return_probs else None)
 
@@ -475,7 +510,8 @@ class LocalGatedPropagation(nn.Module):
         kh = split_heads(kp, self.num_heads)
         vh = split_heads(vp, self.num_heads)
         logits = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=_qk_out_dtype(
+                                q.dtype, deterministic))
         # Scatter the per-query [ws*ws] bias onto the padded key grid. A
         # per-pair gather costs ~18 ms/layer on TPU (scalar loads); the
         # separable one-hot matmul scatter beats the skew's 6-D transpose
@@ -485,7 +521,8 @@ class LocalGatedPropagation(nn.Module):
             bias = _skew_bias_to_padded_grid(rel, h, w, ws)
         else:
             bias = _scatter_bias_to_padded_grid(rel, h, w, ws)
-        logits = logits + bias + jnp.where(mask, 0.0, NEG_INF)
+        extra = bias + jnp.where(mask, 0.0, NEG_INF)
+        logits = logits + extra.astype(logits.dtype)
         logits = _maybe_compact_logits(logits, q.dtype, deterministic)
         probs = _softmax_f32(logits, axis=-1)
         if self.dropout > 0.0 and not deterministic:
