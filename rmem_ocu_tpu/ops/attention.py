@@ -38,15 +38,20 @@ def merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
-def _maybe_compact_logits(logits, in_dtype, compact: bool):
-    """Round the materialized attention logits to bf16 when the inputs are
-    bf16 and the caller opted in (eval only): the softmax chain reads the
-    [Lq, Lk] logits ~3x (max, exp+sum, div) and at DeAOT eval shapes the
-    f32 bank logits are 34 MB/layer — the dominant non-MXU HBM term of
-    the frame. The softmax arithmetic stays float32 (upcast below);
-    only the storage rounds, bounding the logit error at bf16 epsilon.
-    Training and all f32 paths are unchanged (exact reference parity)."""
-    if compact and in_dtype == jnp.bfloat16 and logits.dtype != in_dtype:
+def _maybe_compact_logits(logits, in_dtype):
+    """Round materialized attention logits/probs to bf16 whenever the
+    inputs are bf16: the softmax chain reads the [Lq, Lk] logits ~3x
+    (max, exp+sum, div) and at DeAOT eval shapes the f32 bank logits are
+    34 MB/layer — the dominant non-MXU HBM term of the frame; at the
+    465 2 train recipe the local-attn probs alone are 56 MB/layer/frame
+    in forward AND rematerialized backward (27% of the step, round-4
+    train census). The softmax arithmetic stays float32 (upcast below);
+    only the storage rounds, bounding the error at bf16 epsilon —
+    standard practice for bf16 attention (flash-attention stores probs
+    in the compute dtype). f32 paths are unchanged (exact reference
+    parity; the amp reference keeps f32 softmax under autocast, a
+    documented deviation)."""
+    if in_dtype == jnp.bfloat16 and logits.dtype != in_dtype:
         return logits.astype(jnp.bfloat16)
     return logits
 
@@ -56,21 +61,19 @@ def _softmax_f32(logits, axis=-1):
     return jax.nn.softmax(logits.astype(jnp.float32), axis=axis)
 
 
-def _qk_out_dtype(in_dtype, compact: bool):
-    """Output dtype for the QK logits matmul. On the bf16 eval path the
-    MXU accumulates in f32 and rounds ONCE on write; emitting f32 and
+def _qk_out_dtype(in_dtype):
+    """Output dtype for the QK logits matmul. On bf16 inputs the MXU
+    accumulates in f32 and rounds ONCE on write; emitting f32 and
     compacting afterwards costs a full extra read+write pass over the
     logits (a 271 MB convert at 8-stream eval shapes — round-4 HLO
     census). Exactly the `_maybe_compact_logits` rounding, applied at
-    the producer. f32/training paths keep f32 accumulation storage."""
-    return (jnp.bfloat16 if compact and in_dtype == jnp.bfloat16
-            else jnp.float32)
+    the producer. f32 paths keep f32 storage."""
+    return jnp.bfloat16 if in_dtype == jnp.bfloat16 else jnp.float32
 
 
 def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
                          key_bias=None, return_probs: bool = False,
                          dropout_rate: float = 0.0, dropout_rng=None,
-                         compact_logits: bool = False,
                          mass_capacity: Optional[int] = None):
     """q: [B, Lq, H*Dq], k: [B, Lk, H*Dq], v: [B, Lk, H*Dv].
 
@@ -90,16 +93,15 @@ def scaled_dot_attention(q, k, v, num_heads: int, scale: Optional[float] = None,
     if scale is None:
         scale = qh.shape[-1] ** -0.5
     logits = jnp.einsum('bhqd,bhkd->bhqk', qh * scale, kh,
-                        preferred_element_type=_qk_out_dtype(
-                            q.dtype, compact_logits))
+                        preferred_element_type=_qk_out_dtype(q.dtype))
     if key_bias is not None:
         logits = logits + key_bias.astype(logits.dtype)
-    logits = _maybe_compact_logits(logits, q.dtype, compact_logits)
+    logits = _maybe_compact_logits(logits, q.dtype)
     probs = _softmax_f32(logits, axis=-1)
     # bf16 storage for the materialized probs on the bf16 eval path (see
     # multi_value_call): PV dots cast to bf16 anyway, mass re-accumulates
     # in f32; halves the largest per-layer HBM array of the frame step.
-    probs = _maybe_compact_logits(probs, q.dtype, compact_logits)
+    probs = _maybe_compact_logits(probs, q.dtype)
     attn = probs
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = 1.0 - dropout_rate
@@ -126,13 +128,17 @@ def pallas_memory_read_enabled() -> bool:
     Defaults to on only for the real 'tpu' backend; override with
     RMEM_PALLAS=0/1.
 
-    Measured on this machine's tunneled chip (experimental 'axon'
-    platform): the kernel's ~100 grid steps each pay a large per-step
-    penalty in the axon runtime — 12.4 ms/layer vs 0.3 ms for the XLA
-    dense read at DAVIS-480p eval shapes — while plain XLA ops run at
-    full speed. The same kernel's per-step cost on a real v5e is ~2 µs
-    (pallas_guide.md), where the fused read + free eviction mass wins.
-    Hence: default off for axon, on for tpu."""
+    Round-4 measurements on this machine's tunneled v5e ('axon'
+    platform), after the bf16-probs/QK rewrite of the XLA path: the
+    kernel wins scan-chained THROUGHPUT — 1.13x end-to-end at 3532
+    (bench.py --pallas_ab: 592 vs 525 fps, eviction ids bit-identical)
+    and +5% at 8-stream 480p serving (587.8 vs 560.6 aggregate fps),
+    a wash at single-stream 480p (545 vs 550). But per-DISPATCH latency
+    through the axon runtime is 2.8x worse (p50 5.0 ms vs 1.8 ms) —
+    an axon custom-call launch overhead that a scan amortizes and an
+    interactive caller pays per frame. Hence: default on for real tpu
+    (throughput and latency both fine there, ~2 us/grid-step,
+    pallas_guide.md), off for axon."""
     import os
     env = os.environ.get('RMEM_PALLAS')
     if env is not None:
@@ -175,7 +181,6 @@ class MultiheadAttention(nn.Module):
                                         return_probs=return_probs,
                                         dropout_rate=self.dropout,
                                         dropout_rng=drng,
-                                        compact_logits=deterministic,
                                         mass_capacity=mass_capacity)
         return self.projection(out), aux
 
@@ -259,7 +264,7 @@ class GatedPropagation(nn.Module):
                                           return_probs=return_probs,
                                           dropout_rate=self.dropout,
                                           dropout_rng=drng,
-                                          compact_logits=deterministic)
+                                          )
         out = self._gate_and_project(out, u, size_2d, deterministic)
         return out, probs
 
@@ -280,13 +285,12 @@ class GatedPropagation(nn.Module):
         assert self.num_heads == 1, 'shared-probs split requires one head'
         scale = self.att_dim ** -0.5
         logits = jnp.einsum('bqd,bkd->bqk', q * scale, k,
-                            preferred_element_type=_qk_out_dtype(
-                                q.dtype, deterministic))
+                            preferred_element_type=_qk_out_dtype(q.dtype))
         if key_bias is not None:
             # [B, 1, 1, K] (bank_key_bias layout) or broadcastable
             logits = logits + key_bias.reshape(
                 key_bias.shape[0], 1, -1).astype(logits.dtype)
-        logits = _maybe_compact_logits(logits, q.dtype, deterministic)
+        logits = _maybe_compact_logits(logits, q.dtype)
         probs = _softmax_f32(logits, axis=-1)
         # round the MATERIALIZED probs to bf16 on the bf16 eval path: the
         # [B, Q, K] f32 probs is the frame's largest HBM array (34 MB per
@@ -295,7 +299,7 @@ class GatedPropagation(nn.Module):
         # round-4 HLO census). Both consumers tolerate bf16 storage: the
         # PV dots cast to bf16 anyway and the eviction mass re-accumulates
         # in f32 below. f32/training paths unchanged (reference parity).
-        probs = _maybe_compact_logits(probs, q.dtype, deterministic)
+        probs = _maybe_compact_logits(probs, q.dtype)
         attn = probs
         if self.dropout > 0.0 and not deterministic:
             keep = 1.0 - self.dropout
@@ -510,8 +514,7 @@ class LocalGatedPropagation(nn.Module):
         kh = split_heads(kp, self.num_heads)
         vh = split_heads(vp, self.num_heads)
         logits = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
-                            preferred_element_type=_qk_out_dtype(
-                                q.dtype, deterministic))
+                            preferred_element_type=_qk_out_dtype(q.dtype))
         # Scatter the per-query [ws*ws] bias onto the padded key grid. A
         # per-pair gather costs ~18 ms/layer on TPU (scalar loads); the
         # separable one-hot matmul scatter beats the skew's 6-D transpose
@@ -523,7 +526,7 @@ class LocalGatedPropagation(nn.Module):
             bias = _scatter_bias_to_padded_grid(rel, h, w, ws)
         extra = bias + jnp.where(mask, 0.0, NEG_INF)
         logits = logits + extra.astype(logits.dtype)
-        logits = _maybe_compact_logits(logits, q.dtype, deterministic)
+        logits = _maybe_compact_logits(logits, q.dtype)
         probs = _softmax_f32(logits, axis=-1)
         if self.dropout > 0.0 and not deterministic:
             # train-time dropout on the local attention probabilities
