@@ -57,31 +57,45 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         """x: [B_, N, C]; mask: [nW, N, N] or None."""
+        from rmem_ocu_tpu.ops.attention import (_maybe_compact_logits,
+                                                _qk_out_dtype)
         b, n, c = x.shape
         ws = self.window_size
         head_dim = self.dim // self.num_heads
+        # packed qkv Dense (weights match the reference's single qkv
+        # Linear), but split along features and keep tokens in the minor
+        # layout: the torch-style [B_, N, 3, H, D] reshape + per-tensor
+        # transpose cost 0.13 ms/block of pure layout copies at stage-0
+        # eval shapes (round-4 census); head-split einsums let XLA fold
+        # the head axis into the dots instead.
         qkv = nn.Dense(self.dim * 3, name='qkv')(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
-        logits = jnp.einsum('bhqd,bhkd->bhqk', q * head_dim ** -0.5, k,
-                            preferred_element_type=jnp.float32)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k = k.reshape(b, n, self.num_heads, head_dim)
+        v = v.reshape(b, n, self.num_heads, head_dim)
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q * head_dim ** -0.5, k,
+                            preferred_element_type=_qk_out_dtype(x.dtype))
         rpb_table = self.param(
             'relative_position_bias_table',
             nn.initializers.truncated_normal(0.02),
             ((2 * ws - 1) * (2 * ws - 1), self.num_heads))
         idx = jnp.asarray(_relative_position_index(ws))
         bias = rpb_table[idx.reshape(-1)].reshape(n, n, self.num_heads)
-        logits = logits + bias.transpose(2, 0, 1)[None]
+        extra = bias.transpose(2, 0, 1)[None]
         if mask is not None:
             n_w = mask.shape[0]
-            logits = logits.reshape(b // n_w, n_w, self.num_heads, n, n)
-            logits = logits + mask[None, :, None]
-            logits = logits.reshape(b, self.num_heads, n, n)
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v,
+            # [nW, N, N] window mask + [1, H, N, N] bias -> [nW, H, N, N]
+            extra = extra + mask[:, None]
+        logits = (logits.reshape(b // extra.shape[0], extra.shape[0],
+                                 self.num_heads, n, n)
+                  + extra[None].astype(logits.dtype)).reshape(
+                      b, self.num_heads, n, n)
+        logits = _maybe_compact_logits(logits, x.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = _maybe_compact_logits(probs, x.dtype)
+        out = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(self.dim, name='proj')(out)
+        return nn.Dense(self.dim, name='proj')(out.reshape(b, n, c))
 
 
 class SwinBlock(nn.Module):
