@@ -190,15 +190,23 @@ class InferEngine:
                                   else jnp.float32)
         return self._apply(params, VOSModel.get_id_emb, xb, pre_s2d=(H, W))
 
-    def _temporal_pe(self, params, length):
-        """(cur_pe [C], mem_pe [1, T_cap, C]) or None, interpolated to the
-        live memory length (reference transformer.py:594-629)."""
+    def _temporal_pe(self, params, length, pos=None):
+        """(cur_pe [C], mem_pe [B, T_cap, C]) or None, interpolated to the
+        live memory length (reference transformer.py:594-629).
+
+        `pos` ([B, T_cap] logical position per physical slot) permutes the
+        logically-ordered interpolation onto the bank's physical slot
+        order; free slots (pos < 0) get zero PE (their keys are masked by
+        bank_key_bias anyway)."""
         if not self.cfg.use_temporal_pe:
             return None
         cur, mem = self._apply(params, VOSModel.temporal_pe)
         cap = self.cfg.mem_bank_capacity
         mem_i = jax.vmap(lambda l: interpolated_memory_pe(mem, l, cap))(
             length)                                      # [B, T_cap, C]
+        if pos is not None:
+            gathered = jax.vmap(lambda m, p: m[jnp.clip(p, 0)])(mem_i, pos)
+            mem_i = jnp.where((pos >= 0)[..., None], gathered, 0.0)
         return cur[0], mem_i
 
     # ------------------------------------------------------------------ #
@@ -288,14 +296,14 @@ class InferEngine:
         size_2d = (h, w)
         self_pos = self._apply(params, VOSModel.get_pos_emb,
                                size_2d).astype(img.dtype)
-        tpe = self._temporal_pe(params, state.bank.length)
+        tpe = self._temporal_pe(params, state.bank.length, state.bank.pos)
 
         if cfg.vos == 'deaot':
             long_mem = (state.bank.k, state.bank.v, state.bank.id_v,
-                        state.bank.length)
+                        state.bank.slot_valid)
             short_mem = state.short.read()
         else:
-            long_mem = (state.bank.k, state.bank.v, state.bank.length)
+            long_mem = (state.bank.k, state.bank.v, state.bank.slot_valid)
             k0, v0, _ = state.short.read()
             short_mem = (k0, v0)
 
@@ -367,61 +375,65 @@ class InferEngine:
         if cfg.no_long_memory:
             return state.replace(short=short)
 
-        # long-term write every `gap` frames (reference aot_engine.py:338-343)
+        # long-term write every `gap` frames (reference aot_engine.py:338-343).
+        # Slot-granular predication instead of lax.cond: with the
+        # position-indirected bank, append touches ONE physical slot and
+        # evict touches NO data, so running both every frame with
+        # `enabled=do_long` costs a slot-sized read-modify-write — while a
+        # lax.cond carrying the bank paid a branch-join copy every frame
+        # (0.75 ms/frame at 8-stream 480p serving, round-4 census).
         do_long = state.frame_step - state.last_mem_step >= state.mem_gap
+        do_long = jnp.broadcast_to(do_long, state.bank.length.shape)
         size_2d = self._enc_size_2d(state)
 
-        def long_update(operand):
-            bank, gh_k, gh_v = operand
-            bank = membank.append_frame(
-                bank, stack('long_k'), stack('long_v'),
-                stack('long_id_v') if cfg.vos == 'deaot' else None,
-                state.frame_step)
-            over = bank.length > (cfg.former_mem_len + cfg.latter_mem_len)
+        bank, gh_k, gh_v = state.bank, state.gru_hidden_k, state.gru_hidden_v
+        bank = membank.append_frame(
+            bank, stack('long_k'), stack('long_v'),
+            stack('long_id_v') if cfg.vos == 'deaot' else None,
+            state.frame_step, enabled=do_long)
+        over = do_long & (bank.length
+                          > (cfg.former_mem_len + cfg.latter_mem_len))
 
-            if self.training:
-                drop_idx = membank.default_drop_index(
-                    bank, cfg.former_mem_len, cfg.gru_memory)
-            else:
-                # GPM scores on every long-memory update; LSTT only once over
-                # budget (reference transformer.py:880-964 has no early
-                # return, :332-334 does)
-                score_now = (jnp.ones_like(over) if cfg.vos == 'deaot'
-                             else over)
-                fg = self._foreground_proba(state, size_2d)
-                drop_scored, bank = membank.eviction_scores_and_update(
-                    bank, state.pending_mass, fg_proba=fg,
-                    gru_memory=cfg.gru_memory, enabled=score_now,
-                    former_len=cfg.former_mem_len)
-                drop_idx = drop_scored
+        if self.training:
+            drop_idx = membank.default_drop_index(
+                bank, cfg.former_mem_len, cfg.gru_memory)
+        else:
+            # GPM scores on every long-memory update; LSTT only once over
+            # budget (reference transformer.py:880-964 has no early
+            # return, :332-334 does)
+            score_now = do_long & (jnp.ones_like(over) if cfg.vos == 'deaot'
+                                   else over)
+            fg = self._foreground_proba(state, size_2d)
+            drop_scored, bank = membank.eviction_scores_and_update(
+                bank, state.pending_mass, fg_proba=fg,
+                gru_memory=cfg.gru_memory, enabled=score_now,
+                former_len=cfg.former_mem_len)
+            drop_idx = drop_scored
 
-            compressed = None
-            if cfg.gru_memory and cfg.vos == 'aot':
-                # compress the to-be-evicted slot into slot 1 via ConvGRU.
-                # The hidden state only advances when a drop actually happens
-                # (reference restrict_long_memories early-returns while
-                # size <= former+latter, transformer.py:332-334, and updates
-                # hidden_states only inside the is_drop branch :420-430).
-                take = lambda arrs: tuple(
-                    jax.vmap(lambda a, d: a[d])(arr, drop_idx)
-                    for arr in arrs)
-                (ck_, cv_), (gh_k_new, gh_v_new) = self._apply(
-                    params, VOSModel.compress_evicted_slots, take(bank.k),
-                    take(bank.v), gh_k, gh_v, size_2d)
-                sel = over[:, None, None]
-                pick = lambda new, old: jnp.where(sel, new, old)
-                gh_k = membank._map(pick, gh_k_new, gh_k)
-                gh_v = membank._map(pick, gh_v_new, gh_v)
-                compressed = (ck_, cv_, None)
+        compressed = None
+        if cfg.gru_memory and cfg.vos == 'aot':
+            # compress the to-be-evicted slot into slot 1 via ConvGRU.
+            # The hidden state only advances when a drop actually happens
+            # (reference restrict_long_memories early-returns while
+            # size <= former+latter, transformer.py:332-334, and updates
+            # hidden_states only inside the is_drop branch :420-430).
+            phys_d = bank.phys_of(drop_idx)
+            take = lambda arrs: tuple(
+                jax.vmap(lambda a, d: a[d])(arr, phys_d)
+                for arr in arrs)
+            (ck_, cv_), (gh_k_new, gh_v_new) = self._apply(
+                params, VOSModel.compress_evicted_slots, take(bank.k),
+                take(bank.v), gh_k, gh_v, size_2d)
+            sel = over[:, None, None]
+            pick = lambda new, old: jnp.where(sel, new, old)
+            gh_k = membank._map(pick, gh_k_new, gh_k)
+            gh_v = membank._map(pick, gh_v_new, gh_v)
+            compressed = (ck_, cv_, None)
 
-            bank = membank.evict_frame(bank, drop_idx, enabled=over,
-                                       compressed_kv=compressed)
-            return bank, gh_k, gh_v
-
-        operand = (state.bank, state.gru_hidden_k, state.gru_hidden_v)
-        bank, gh_k, gh_v = jax.lax.cond(
-            do_long, long_update, lambda o: o, operand)
-        last_mem = jnp.where(do_long, state.frame_step, state.last_mem_step)
+        bank = membank.evict_frame(bank, drop_idx, enabled=over,
+                                   compressed_kv=compressed)
+        last_mem = jnp.where(do_long[0], state.frame_step,
+                             state.last_mem_step)
         return state.replace(bank=bank, short=short, last_mem_step=last_mem,
                              gru_hidden_k=gh_k, gru_hidden_v=gh_v)
 

@@ -116,13 +116,17 @@ class TrainEngine:
             id_emb = jax.lax.stop_gradient(id_emb)
         return id_emb
 
-    def _temporal_pe(self, params, length, cap=None):
+    def _temporal_pe(self, params, length, cap=None, pos=None):
         if not self.cfg.use_temporal_pe:
             return None
         cur, mem = self.model.apply(params, method=VOSModel.temporal_pe)
         cap = self.cfg.mem_bank_capacity if cap is None else cap
         mem_i = jax.vmap(lambda l: interpolated_memory_pe(mem, l, cap))(
             length)
+        if pos is not None:
+            # logical-order interpolation -> the bank's physical slot order
+            gathered = jax.vmap(lambda m, p: m[jnp.clip(p, 0)])(mem_i, pos)
+            mem_i = jnp.where((pos >= 0)[..., None], gathered, 0.0)
         return cur[0], mem_i
 
     def _episode_capacity(self, t_total: int) -> int:
@@ -351,14 +355,16 @@ class TrainEngine:
             # decorrelate stochastic-depth masks across frames
             step_key = jax.random.fold_in(rng_drop, t_idx)
             step_rngs = {'droppath': step_key, 'dropout': step_key}
-            tpe = self._temporal_pe(params, carry.bank.length, cap=cap)
+            tpe = self._temporal_pe(params, carry.bank.length, cap=cap,
+                                    pos=carry.bank.pos)
             if cfg.vos == 'deaot':
                 long_mem = (carry.bank.k, carry.bank.v, carry.bank.id_v,
-                            carry.bank.length)
+                            carry.bank.slot_valid)
                 short_mem = carry.short.read()
             else:
                 k0, v0, _ = carry.short.read()
-                long_mem = (carry.bank.k, carry.bank.v, carry.bank.length)
+                long_mem = (carry.bank.k, carry.bank.v,
+                            carry.bank.slot_valid)
                 short_mem = (k0, v0)
             inters, mems, _ = lstt_step(params, emb16, long_mem, short_mem,
                                         None, tpe, step_rngs=step_rngs)
@@ -412,18 +418,20 @@ class TrainEngine:
                 t_idx - carry.last_mem_step >= self.gap,
                 jnp.array(not cfg.no_long_memory))
 
-            def long_update(bk):
-                bk = membank.append_frame(
-                    bk, fstack('long_k'), fstack('long_v'),
-                    fstack('long_id_v') if cfg.vos == 'deaot' else None,
-                    t_idx)
-                over = bk.length > (cfg.former_mem_len + cfg.latter_mem_len)
-                drop = membank.default_drop_index(bk, cfg.former_mem_len,
-                                                  cfg.gru_memory)
-                return membank.evict_frame(bk, drop, enabled=over)
-
-            new_bank = jax.lax.cond(do_long, long_update, lambda x: x,
-                                    carry.bank)
+            # slot-granular predication instead of lax.cond (the cond's
+            # branch join copied the whole bank every scan step; with the
+            # position-indirected bank, append is a one-slot write and
+            # evict is index arithmetic)
+            do_long_b = jnp.broadcast_to(do_long, carry.bank.length.shape)
+            new_bank = membank.append_frame(
+                carry.bank, fstack('long_k'), fstack('long_v'),
+                fstack('long_id_v') if cfg.vos == 'deaot' else None,
+                t_idx, enabled=do_long_b)
+            over = do_long_b & (
+                new_bank.length > (cfg.former_mem_len + cfg.latter_mem_len))
+            drop = membank.default_drop_index(new_bank, cfg.former_mem_len,
+                                              cfg.gru_memory)
+            new_bank = membank.evict_frame(new_bank, drop, enabled=over)
 
             # REVERSE_INFER (reference aot_engine.py:371-396): after a long
             # write, re-segment the reference frame against the *latter*
@@ -446,16 +454,23 @@ class TrainEngine:
                     carry.first_short, new_short)
 
                 def reverse_loss(_):
-                    outer_k = tuple(a[:, 1:] for a in new_bank.k)
-                    outer_v = tuple(a[:, 1:] for a in new_bank.v)
+                    # the *latter* memory = everything but logical slot 0,
+                    # expressed as a validity mask over the full-capacity
+                    # physical bank (one extra -1e9-masked slot instead of
+                    # the ordered ring's [:, 1:] slice — softmax-identical);
+                    # outer logical position j = original position j+1, so
+                    # the PE permutation uses pos-1
+                    outer_valid = (new_bank.slot_valid
+                                   & (new_bank.pos != 0))
                     outer_len = jnp.maximum(new_bank.length - 1, 1)
                     k0, v0, _ = first_short.read()
-                    tpe_r = self._temporal_pe(params, outer_len, cap=cap)
-                    if tpe_r is not None:
-                        tpe_r = (tpe_r[0],
-                                 tpe_r[1][:, :outer_k[0].shape[1]])
+                    tpe_r = self._temporal_pe(
+                        params, outer_len, cap=cap,
+                        pos=jnp.where(new_bank.pos >= 1,
+                                      new_bank.pos - 1, -1))
                     inters_r, _, _ = lstt_step(
-                        params, xs[-1][:, 0], (outer_k, outer_v, outer_len),
+                        params, xs[-1][:, 0],
+                        (new_bank.k, new_bank.v, outer_valid),
                         (k0, v0), None, tpe_r)
                     logits_r = decode(params, inters_r, frame_xs(0),
                                       obj_nums)

@@ -75,7 +75,8 @@ class GPMBlock(nn.Module):
                  size_2d, temporal_pe, need_mass: bool = False,
                  deterministic: bool = True):
         """tgt: [B, HW, C]; tgt_id: [B, HW, C] or None (first layer).
-        long_mem: (k [B,T,HW,Datt], v [B,T,HW,E], id_v [B,T,HW,E], length)
+        long_mem: (k [B,T,HW,Datt], v [B,T,HW,E], id_v [B,T,HW,E],
+        valid [B,T] — live PHYSICAL slots, order arbitrary)
         or None when curr_id_emb is given.
         short_kv: (k, v, id_v) each [B, HW, *] or None.
         Returns (tgt, tgt_id, memories dict, mass)."""
@@ -104,11 +105,11 @@ class GPMBlock(nn.Module):
             mem_k = curr_k[:, None]
             mem_v = curr_v[:, None]
             mem_id_v = global_id_v[:, None]
-            length = jnp.ones((b,), jnp.int32)
+            valid = jnp.ones((b, 1), bool)
             local_k, local_v, local_id_v = curr_k, curr_v, global_id_v
             mems['global_id_v_fused'] = global_id_v
         else:
-            mem_k, mem_v, mem_id_v, length = long_mem
+            mem_k, mem_v, mem_id_v, valid = long_mem
             local_k, local_v, local_id_v = short_kv
 
         capacity, hw = mem_k.shape[1], mem_k.shape[2]
@@ -126,7 +127,7 @@ class GPMBlock(nn.Module):
             # PE is applied to the bank keys inside the kernel (rank-1
             # logit correction) — no full-bank (k + pe) materialization
             cat_tgt2, mass = self.long_term_attn.bank_read(
-                q_time, mem_k, mem_v, mem_id_v, cat_curr_u, length, size_2d,
+                q_time, mem_k, mem_v, mem_id_v, cat_curr_u, valid, size_2d,
                 mem_pe=mem_pe, deterministic=deterministic)
             if not need_mass:
                 mass = None
@@ -135,7 +136,7 @@ class GPMBlock(nn.Module):
                 mem_k = mem_k + mem_pe[:, :, None, :]
             flat_k = mem_k.reshape(b, capacity * hw, -1)
             bias = (None if capacity == 1
-                    else bank_key_bias(length, capacity, hw))
+                    else bank_key_bias(valid, hw))
             if self.att_heads == 1:
                 # V and ID_V share one probability matrix: read the two
                 # banks separately instead of materializing the bank-sized

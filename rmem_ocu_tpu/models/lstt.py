@@ -29,10 +29,11 @@ from rmem_ocu_tpu.ops.layers import EPS, DropPath, GNActDWConv2d
 SLOT_NEG = -1e9
 
 
-def bank_key_bias(length, capacity: int, hw: int):
-    """[B, 1, 1, T_cap*HW] additive bias masking empty slots."""
-    slot = jnp.arange(capacity)[None]                     # [1, T]
-    bias = jnp.where(slot < length[:, None], 0.0, SLOT_NEG)
+def bank_key_bias(valid, hw: int):
+    """[B, 1, 1, T_cap*HW] additive bias masking empty/free slots.
+    valid: [B, T_cap] bool per PHYSICAL slot (bank.slot_valid — the
+    position-indirected bank has no prefix-ordering guarantee)."""
+    bias = jnp.where(valid, 0.0, SLOT_NEG)
     return jnp.repeat(bias, hw, axis=-1)[:, None, None, :]
 
 
@@ -90,8 +91,10 @@ class LSTTBlock(nn.Module):
                  size_2d, temporal_pe, need_mass: bool = False,
                  deterministic: bool = True):
         """tgt: [B, HW, C].
-        long_mem: (k_bank [B,T,HW,C], v_bank [B,T,HW,C], length [B]) or None
-        when curr_id_emb is given (reference frame: memory = current frame).
+        long_mem: (k_bank [B,T,HW,C], v_bank [B,T,HW,C], valid [B,T])
+        or None when curr_id_emb is given (reference frame: memory =
+        current frame). `valid` marks live PHYSICAL slots
+        (bank.slot_valid); slot order is arbitrary.
         short_kv: (k [B,HW,C], v [B,HW,C]) or None (reference frame).
         temporal_pe: (cur_pe [C], mem_pe_interp [B?, T, C]) or None; the
         mem PE is already interpolated to the live length with zero padding.
@@ -114,11 +117,11 @@ class LSTTBlock(nn.Module):
             fused_v = self.linear_V(curr_v + curr_id_emb)
             mem_k = curr_k[:, None]                    # [B, 1, HW, C]
             mem_v = fused_v[:, None]
-            length = jnp.ones((tgt.shape[0],), jnp.int32)
+            valid = jnp.ones((tgt.shape[0], 1), bool)
             local_k, local_v_in = curr_k, fused_v
             mems['global_v_fused'] = fused_v
         else:
-            mem_k, mem_v, length = long_mem
+            mem_k, mem_v, valid = long_mem
             local_k, local_v_in = short_kv
 
         capacity, hw = mem_k.shape[1], mem_k.shape[2]
@@ -136,7 +139,7 @@ class LSTTBlock(nn.Module):
             # fused kernel: attention + per-slot eviction mass in one pass,
             # empty slots skipped; PE applied to keys inside the kernel
             tgt2, mass = self.long_term_attn.bank_read(
-                q_time, mem_k, mem_v, length, mem_pe=mem_pe)
+                q_time, mem_k, mem_v, valid, mem_pe=mem_pe)
             if not need_mass:
                 mass = None
         else:
@@ -145,7 +148,7 @@ class LSTTBlock(nn.Module):
             flat_k = mem_k.reshape(mem_k.shape[0], capacity * hw, -1)
             flat_v = mem_v.reshape(mem_v.shape[0], capacity * hw, -1)
             bias = (None if capacity == 1
-                    else bank_key_bias(length, capacity, hw))
+                    else bank_key_bias(valid, hw))
             # eviction mass reduced inside the attention call: returning
             # the full [B, H, HWq, T*HW] float32 probs just to sum them
             # costs an extra bank-sized materialization (270 MB at 8-head
@@ -236,8 +239,8 @@ class LSTTStack(nn.Module):
     def __call__(self, tgt, long_mem, short_mem, curr_id_emb, self_pos,
                  size_2d, temporal_pe, need_mass: bool = False,
                  deterministic: bool = True):
-        """long_mem: None or (k, v, length) where k/v are per-layer tuples
-        of [B,T,HW,C] and length is [B].
+        """long_mem: None or (k, v, valid) where k/v are per-layer tuples
+        of [B,T,HW,C] and valid is [B,T] (live physical slots).
         short_mem: None or per-layer tuples (k, v) of [B,HW,C].
         Returns (intermediates list, per-layer memories, layer0 mass)."""
         if self.emb_dropout > 0.0 and not deterministic:

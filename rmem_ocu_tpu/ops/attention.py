@@ -184,14 +184,15 @@ class MultiheadAttention(nn.Module):
                                         mass_capacity=mass_capacity)
         return self.projection(out), aux
 
-    def bank_read(self, q, k_bank, v_bank, length, mem_pe=None,
+    def bank_read(self, q, k_bank, v_bank, valid, mem_pe=None,
                   want_mass: bool = True):
-        """Fused Pallas memory read: k_bank/v_bank [B, T, HW, C], length [B],
-        mem_pe optional [B|1, T, C] temporal PE (applied to keys inside the
-        kernel). Returns (projected out, mass [B, HWq, T])."""
+        """Fused Pallas memory read: k_bank/v_bank [B, T, HW, C],
+        valid [B, T] bool (live physical slots), mem_pe optional
+        [B|1, T, C] temporal PE (applied to keys inside the kernel).
+        Returns (projected out, mass [B, HWq, T])."""
         from rmem_ocu_tpu.ops.pallas.memory_read import memory_read_fused
         scale = (self.d_model // self.num_heads) ** -0.5
-        (raw,), mass = memory_read_fused(q, k_bank, (v_bank,), length,
+        (raw,), mass = memory_read_fused(q, k_bank, (v_bank,), valid,
                                          self.num_heads, scale,
                                          mem_pe=mem_pe)
         return self.projection(raw.astype(q.dtype)), mass
@@ -328,7 +329,7 @@ class GatedPropagation(nn.Module):
             return out, mass
         return out, (probs[:, None] if return_probs else None)
 
-    def bank_read(self, q, k_bank, v_bank, id_v_bank, u, length, size_2d,
+    def bank_read(self, q, k_bank, v_bank, id_v_bank, u, valid, size_2d,
                   mem_pe=None, deterministic: bool = True):
         """Fused Pallas memory read (use_linear=False path):
         k_bank [B,T,HW,Datt], v_bank/id_v_bank [B,T,HW,E] (DeAOT's value /
@@ -342,7 +343,7 @@ class GatedPropagation(nn.Module):
             # single head: the concatenated V‖ID_V shares one probability
             # matrix, so the two banks read separately (no bank-sized concat)
             (o_v, o_id), mass = memory_read_fused(
-                q, k_bank, (v_bank, id_v_bank), length, 1, scale,
+                q, k_bank, (v_bank, id_v_bank), valid, 1, scale,
                 mem_pe=mem_pe)
             raw = jnp.concatenate([o_v, o_id], axis=-1)
         else:
@@ -351,7 +352,7 @@ class GatedPropagation(nn.Module):
             if mem_pe is not None:
                 k_bank = k_bank + mem_pe[:, :, None, :].astype(k_bank.dtype)
             cat_v = jnp.concatenate([v_bank, id_v_bank], axis=-1)
-            raw, mass = memory_read_multihead(q, k_bank, cat_v, length,
+            raw, mass = memory_read_multihead(q, k_bank, cat_v, valid,
                                               self.num_heads, scale)
         out = self._gate_and_project(raw.astype(q.dtype), u, size_2d,
                                      deterministic)

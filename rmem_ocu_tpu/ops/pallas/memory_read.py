@@ -9,9 +9,10 @@ softmax pass: per-slot partial denominators are tracked alongside the usual
 (m, l) running statistics, so eviction scores cost no second pass and the
 [HWq, T_cap*HWk] probability matrix is never materialized.
 
-Layout: heads are folded into the leading grid axis; empty slots
-(t >= length) are skipped entirely — compute scales with the *live* memory,
-not the capacity.
+Layout: heads are folded into the leading grid axis; free slots (the
+position-indirected bank marks them valid=0 — they can sit anywhere, not
+just at the tail) contribute no compute: their grid steps are @pl.when-
+skipped, so compute scales with the *live* memory, not the capacity.
 """
 from __future__ import annotations
 
@@ -25,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(length_ref,                      # scalar prefetch [BH]
+def _kernel(valid_ref,                       # scalar prefetch [BH, T_cap]
             q_ref, k_ref, v_ref,             # VMEM blocks
             o_ref, mass_ref,                 # outputs
             m_scr, l_scr, acc_scr, s_scr,    # scratch
@@ -35,7 +36,7 @@ def _kernel(length_ref,                      # scalar prefetch [BH]
     n_kb = pl.num_programs(3)
     t_cap = pl.num_programs(2)
     bh = pl.program_id(0)
-    length = length_ref[bh]
+    live = valid_ref[bh, t] != 0
 
     @pl.when(jnp.logical_and(t == 0, kb == 0))
     def _init():
@@ -44,7 +45,7 @@ def _kernel(length_ref,                      # scalar prefetch [BH]
         acc_scr[:] = jnp.zeros_like(acc_scr)
         s_scr[:] = jnp.zeros_like(s_scr)
 
-    @pl.when(t < length)
+    @pl.when(live)
     def _step():
         # bf16 MXU matmuls with f32 accumulation (flash-standard; also what
         # XLA does for f32 inputs by default on TPU); mm_dtype=f32 for
@@ -84,11 +85,12 @@ def _kernel(length_ref,                      # scalar prefetch [BH]
 
 @functools.partial(jax.jit, static_argnames=('block_q', 'block_k',
                                              'interpret', 'precise'))
-def memory_read_attention(q, k_bank, v_bank, length, block_q: int = 512,
+def memory_read_attention(q, k_bank, v_bank, valid, block_q: int = 512,
                           block_k: int = 512, interpret: bool = False,
                           precise: bool = False):
     """q: [BH, HWq, D] (pre-scaled, PE added); k_bank: [BH, T_cap, HWk, D];
-    v_bank: [BH, T_cap, HWk, Dv]; length: [BH] int32 live slots.
+    v_bank: [BH, T_cap, HWk, Dv]; valid: [BH, T_cap] int32/bool live-slot
+    mask (arbitrary physical order).
 
     Returns (out [BH, HWq, Dv] f32-accumulated,
              mass [BH, HWq, T_cap] — per-slot attention mass).
@@ -144,7 +146,7 @@ def memory_read_attention(q, k_bank, v_bank, length, block_q: int = 512,
             jax.ShapeDtypeStruct((bh, hwq + pad_q, t_cap), jnp.float32),
         ],
         interpret=interpret,
-    )(length, q, k_bank, v_bank)
+    )(valid.astype(jnp.int32), q, k_bank, v_bank)
 
     if pad_q:
         out = out[:, :hwq]
@@ -159,7 +161,7 @@ def _make_fused_kernel(mm_dtype, num_heads: int, has_pe: bool,
     Ref order after the scalar prefetch: q, k, [pe], v1, [v2] inputs;
     o1, [o2], mass outputs; m, l, acc1, [acc2], s scratch.
     """
-    def kernel(length_ref, *refs):
+    def kernel(valid_ref, *refs):
         it = iter(refs)
         q_ref = next(it)
         k_ref = next(it)
@@ -182,8 +184,8 @@ def _make_fused_kernel(mm_dtype, num_heads: int, has_pe: bool,
         n_kb = pl.num_programs(3)
         # lax.div, not python //: program ids are non-negative and jnp's
         # floor-div sign correction adds needless select chains in Mosaic
-        length = length_ref[bh if num_heads == 1
-                            else jax.lax.div(bh, num_heads)]
+        live = valid_ref[bh if num_heads == 1
+                         else jax.lax.div(bh, num_heads), t] != 0
 
         @pl.when(jnp.logical_and(t == 0, kb == 0))
         def _init():
@@ -194,7 +196,7 @@ def _make_fused_kernel(mm_dtype, num_heads: int, has_pe: bool,
                 acc2[:] = jnp.zeros_like(acc2)
             s_scr[:] = jnp.zeros_like(s_scr)
 
-        @pl.when(t < length)
+        @pl.when(live)
         def _step():
             q = q_ref[0].astype(mm_dtype)            # [Lq, D]
             k = k_ref[0, 0].astype(mm_dtype)         # [Kb, D]
@@ -276,7 +278,7 @@ def _pick_fused_blocks(hwq: int, hwk: int, d: int, dv_heads, t_cap: int,
     return bq, bk
 
 
-def memory_read_fused(q, k_bank, v_banks, length, num_heads: int,
+def memory_read_fused(q, k_bank, v_banks, valid, num_heads: int,
                       scale: float, mem_pe=None, block_q: int = None,
                       block_k: int = None, interpret: bool = None,
                       precise: bool = False):
@@ -285,7 +287,8 @@ def memory_read_fused(q, k_bank, v_banks, length, num_heads: int,
     q: [B, HWq, H*D] (unscaled); k_bank: [B, T_cap, HWk, H*D];
     v_banks: tuple of 1 or 2 arrays [B, T_cap, HWk, Cv_i] (two banks =
     DeAOT's V / ID_V pair sharing one set of attention probs — requires
-    num_heads == 1); length: [B]; mem_pe: optional [B|1, T_cap, H*D]
+    num_heads == 1); valid: [B, T_cap] live-slot mask (arbitrary
+    physical order); mem_pe: optional [B|1, T_cap, H*D]
     temporal PE (reference adds it to every memory key,
     transformer.py:594-629); applied here as a rank-1 logit correction
     inside the kernel.
@@ -347,28 +350,28 @@ def memory_read_fused(q, k_bank, v_banks, length, num_heads: int,
         def _h(i):
             return jax.lax.rem(i, h)
 
-    def _clamp_t(t, L, i):
-        # dead slots re-fetch the last live block (same index as the
-        # previous grid step -> Mosaic elides the DMA); @pl.when skips
-        # the compute anyway.
-        return jnp.minimum(t, jnp.maximum(L[_b(i)] - 1, 0))
+    # dead slots (valid=0) still DMA their block — at most one slot is
+    # free in steady state (evict runs right after the over-budget
+    # append) and the compute is @pl.when-skipped; index-mapping around
+    # them would need a per-slot indirection in SMEM for no measurable
+    # win.
 
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda i, qb, t, kb, L:
                      (_b(i), qb, _h(i))),
         pl.BlockSpec((1, 1, bk, d), lambda i, qb, t, kb, L:
-                     (_b(i), _clamp_t(t, L, i), kb, _h(i))),
+                     (_b(i), t, kb, _h(i))),
     ]
     operands = [q, k_bank]
     if mem_pe is not None:
         in_specs.append(pl.BlockSpec(
             (1, 1, 1, d), lambda i, qb, t, kb, L:
-            (_b(i), _clamp_t(t, L, i), 0, _h(i))))
+            (_b(i), t, 0, _h(i))))
         operands.append(mem_pe)
     for v, dvh in zip(v_banks, dv_heads):
         in_specs.append(pl.BlockSpec(
             (1, 1, bk, dvh), lambda i, qb, t, kb, L:
-            (_b(i), _clamp_t(t, L, i), kb, _h(i))))
+            (_b(i), t, kb, _h(i))))
         operands.append(v)
 
     out_specs = [pl.BlockSpec((1, bq, dvh), lambda i, qb, t, kb, L:
@@ -399,7 +402,7 @@ def memory_read_fused(q, k_bank, v_banks, length, num_heads: int,
         has_pe=mem_pe is not None, two_banks=two_banks)
     results = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=interpret)(length, *operands)
+        interpret=interpret)(valid.astype(jnp.int32), *operands)
     *outs, mass = results
     if pad_q:
         outs = [o[:, :hwq] for o in outs]
@@ -421,13 +424,13 @@ def _best_block_k(hwk: int, cap: int = 512) -> int:
     return best if best is not None else hwk
 
 
-def memory_read_multihead(q, k_bank, v_bank, length, num_heads: int,
+def memory_read_multihead(q, k_bank, v_bank, valid, num_heads: int,
                           scale: float, interpret: bool = None):
     """Convenience wrapper over batch+head folding.
 
     q: [B, HWq, H*D]; k_bank: [B, T, HWk, H*D]; v_bank: [B, T, HWk, H*Dv];
-    length: [B]. Returns (out [B, HWq, H*Dv], mass [B, HWq, T] — mean over
-    heads, matching frame_mass_from_probs).
+    valid: [B, T] live-slot mask. Returns (out [B, HWq, H*Dv],
+    mass [B, HWq, T] — mean over heads, matching frame_mass_from_probs).
 
     interpret=None auto-selects: compiled Mosaic on a TPU backend,
     interpret mode elsewhere (so RMEM_PALLAS=1 exercises the kernel's
@@ -447,7 +450,7 @@ def memory_read_multihead(q, k_bank, v_bank, length, num_heads: int,
     kf = kf.reshape(b * h, t_cap, hwk, d)
     vf = v_bank.reshape(b, t_cap, hwk, h, dv).transpose(0, 3, 1, 2, 4)
     vf = vf.reshape(b * h, t_cap, hwk, dv)
-    lf = jnp.repeat(length, h)
+    lf = jnp.repeat(valid.astype(jnp.int32), h, axis=0)
 
     # bq=512 / bk~=184 measured fastest at DAVIS-480p eval shapes on v5e
     # (201us vs 244us for the XLA dense path at B=1; 2.8ms vs 3.2ms at B=8)

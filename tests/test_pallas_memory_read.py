@@ -22,14 +22,15 @@ def test_memory_read_kernel_matches_xla(t_live, heads):
     v = rng.randn(b * heads, t_cap, hwk, dv).astype(np.float32) * 0.5
     length = np.full((b * heads,), t_live, np.int32)
 
+    valid = jnp.arange(t_cap)[None] < jnp.asarray(length)[:, None]
     out, mass = memory_read_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(length),
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), valid,
         block_q=16, block_k=32, interpret=True, precise=True)
 
     # XLA reference: masked dense attention (per folded batch*head, 1 head)
     flat_k = k.reshape(b * heads, t_cap * hwk, d)
     flat_v = v.reshape(b * heads, t_cap * hwk, dv)
-    bias = bank_key_bias(jnp.asarray(length), t_cap, hwk)
+    bias = bank_key_bias(valid, hwk)
     want, probs = scaled_dot_attention(
         jnp.asarray(q), jnp.asarray(flat_k), jnp.asarray(flat_v), 1,
         scale=1.0, key_bias=bias, return_probs=True)
@@ -63,15 +64,16 @@ def test_memory_read_fused_single_bank(t_live, heads, with_pe, blocks):
     length = jnp.full((b,), t_live, jnp.int32)
     scale = d_h ** -0.5
 
+    valid = jnp.arange(t_cap)[None] < length[:, None]
     (out,), mass = memory_read_fused(
-        q, k, (v,), length, heads, scale,
+        q, k, (v,), valid, heads, scale,
         mem_pe=pe if with_pe else None, interpret=True, precise=True,
         **blocks)
 
     k_ref = k + pe[:, :, None, :] if with_pe else k
     flat_k = k_ref.reshape(b, t_cap * hwk, hd)
     flat_v = v.reshape(b, t_cap * hwk, hdv)
-    bias = bank_key_bias(length, t_cap, hwk)
+    bias = bank_key_bias(valid, hwk)
     want, probs = scaled_dot_attention(q, flat_k, flat_v, heads,
                                        scale=scale, key_bias=bias,
                                        return_probs=True)
@@ -97,15 +99,16 @@ def test_memory_read_fused_two_banks(t_live, with_pe):
     length = jnp.full((b,), t_live, jnp.int32)
     scale = d ** -0.5
 
+    valid = jnp.arange(t_cap)[None] < length[:, None]
     (o1, o2), mass = memory_read_fused(
-        q, k, (v1, v2), length, 1, scale,
+        q, k, (v1, v2), valid, 1, scale,
         mem_pe=pe if with_pe else None, interpret=True, precise=True)
 
     k_ref = k + pe[:, :, None, :] if with_pe else k
     flat_k = k_ref.reshape(b, t_cap * hwk, d)
     cat_v = jnp.concatenate([v1, v2], axis=-1).reshape(b, t_cap * hwk,
                                                        dv1 + dv2)
-    bias = bank_key_bias(length, t_cap, hwk)
+    bias = bank_key_bias(valid, hwk)
     want, probs = scaled_dot_attention(q, flat_k, cat_v, 1, scale=scale,
                                        key_bias=bias, return_probs=True)
     want_mass = frame_mass_from_probs(probs, t_cap)

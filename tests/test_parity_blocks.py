@@ -116,7 +116,8 @@ def test_lstt_block_propagate_parity(t_mem, use_tpe):
 
     out, mems, mass = blk.apply(
         params, jnp.asarray(tgt),
-        (jnp.asarray(bank_k), jnp.asarray(bank_v), length),
+        (jnp.asarray(bank_k), jnp.asarray(bank_v),
+         jnp.arange(jnp.asarray(bank_k).shape[1])[None] < length[:, None]),
         (jnp.asarray(short_k), jnp.asarray(short_v)), None,
         jnp.asarray(pos), (H, W), tpe, need_mass=True)
 
@@ -178,7 +179,8 @@ def test_gpm_multi_value_call_matches_folded_concat():
     v2 = jnp.asarray(rng.randn(B, T * HW, E), jnp.float32)
     u = jnp.asarray(rng.randn(B, HW, 2 * E), jnp.float32)
     length = jnp.asarray([3, 4], jnp.int32)
-    bias = bank_key_bias(length, T, HW)
+    valid = jnp.arange(T)[None] < length[:, None]
+    bias = bank_key_bias(valid, HW)
 
     params = gp.init(jax.random.PRNGKey(0), q, k,
                      jnp.concatenate([v1, v2], -1), u, size_2d,

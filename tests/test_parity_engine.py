@@ -109,7 +109,7 @@ def test_streaming_engine_parity_gru_memory(capsys):
             teng.update_short_term_memory(t_pred.unsqueeze(1).float())
         t_len = teng.AOT.LSTT.long_term_memories[0][0].shape[0]
         assert int(st.bank.length[0]) == t_len, f'frame {t}'
-        got_ids = list(np.asarray(st.bank.frame_ids[0][:t_len]))
+        got_ids = list(np.asarray(st.bank.ordered_frame_ids[0][:t_len]))
         assert got_ids == teng.long_memories_indexes, f'frame {t}'
         # compressed memory contents track the oracle (incl. the GRU
         # output written into slot 1 and the gated hidden state);
@@ -117,7 +117,7 @@ def test_streaming_engine_parity_gru_memory(capsys):
         t_mem_k = teng.AOT.LSTT.long_term_memories[0][0]
         want_k = t_mem_k.permute(0, 2, 1, 3).numpy()[:, 0]
         np.testing.assert_allclose(
-            np.asarray(st.bank.k[0][0, :t_len]), want_k,
+            np.asarray(st.bank.ordered(st.bank.k[0])[0, :t_len]), want_k,
             rtol=5e-3, atol=5e-3, err_msg=f'bank K diverged frame {t}')
 
 
@@ -199,5 +199,5 @@ def test_streaming_engine_parity(model_name, capsys):
         # memory bank contents must track the oracle exactly
         t_len = teng.AOT.LSTT.long_term_memories[0][0].shape[0]
         assert int(st.bank.length[0]) == t_len, f'frame {t}'
-        got_ids = list(np.asarray(st.bank.frame_ids[0][:t_len]))
+        got_ids = list(np.asarray(st.bank.ordered_frame_ids[0][:t_len]))
         assert got_ids == teng.long_memories_indexes, f'frame {t}'

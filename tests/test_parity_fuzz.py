@@ -187,7 +187,7 @@ def test_streaming_parity_fuzz(case_id, model_name, overrides, eng_kw,
 
         t_len = teng.AOT.LSTT.long_term_memories[0][0].shape[0]
         assert int(st.bank.length[0]) == t_len, f'[{case_id}] frame {t}'
-        got_ids = list(np.asarray(st.bank.frame_ids[0][:t_len]))
+        got_ids = list(np.asarray(st.bank.ordered_frame_ids[0][:t_len]))
         assert got_ids == teng.long_memories_indexes, \
             f'[{case_id}] eviction ids diverged at frame {t}: ' \
             f'{got_ids} vs {teng.long_memories_indexes}'

@@ -122,7 +122,7 @@ def _stream_and_compare(eng, params, st, teng, frames, gts):
 
         t_len = teng.AOT.LSTT.long_term_memories[0][0].shape[0]
         assert int(st.bank.length[0]) == t_len, f'frame {t}'
-        got_ids = list(np.asarray(st.bank.frame_ids[0][:t_len]))
+        got_ids = list(np.asarray(st.bank.ordered_frame_ids[0][:t_len]))
         assert got_ids == teng.long_memories_indexes, f'frame {t}'
 
 
