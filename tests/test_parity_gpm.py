@@ -143,6 +143,7 @@ def test_gpm_block_propagate_parity(t_mem, use_tpe):
         [m.transpose(2, 0, 1, 3),
          np.zeros((B, cap - t_mem, HW, c), np.float32)], axis=1)
     length = jnp.full((B,), t_mem, jnp.int32)
+    valid = jnp.arange(cap)[None] < length[:, None]
 
     tpe, t_tpe = None, None
     if use_tpe:
@@ -156,7 +157,7 @@ def test_gpm_block_propagate_parity(t_mem, use_tpe):
     variables = blk.init(
         jax.random.PRNGKey(0), jnp.asarray(tgt), jnp.asarray(tgt_id),
         (jnp.asarray(bank(mem_k, D_ATT)), jnp.asarray(bank(mem_v, E)),
-         jnp.asarray(bank(mem_id_v, E)), length),
+         jnp.asarray(bank(mem_id_v, E)), valid),
         (jnp.asarray(s_k), jnp.asarray(s_v), jnp.asarray(s_id_v)),
         None, (H, W), tpe)
     cfg = get_model_config('r50_deaotl')
@@ -167,7 +168,7 @@ def test_gpm_block_propagate_parity(t_mem, use_tpe):
     out, out_id, mems, mass = blk.apply(
         params, jnp.asarray(tgt), jnp.asarray(tgt_id),
         (jnp.asarray(bank(mem_k, D_ATT)), jnp.asarray(bank(mem_v, E)),
-         jnp.asarray(bank(mem_id_v, E)), length),
+         jnp.asarray(bank(mem_id_v, E)), valid),
         (jnp.asarray(s_k), jnp.asarray(s_v), jnp.asarray(s_id_v)),
         None, (H, W), tpe, need_mass=True)
 
