@@ -417,17 +417,35 @@ class InferEngine:
             # (reference restrict_long_memories early-returns while
             # size <= former+latter, transformer.py:332-334, and updates
             # hidden_states only inside the is_drop branch :420-430).
+            # The GRU forward itself rides a lax.cond on any(over): unlike
+            # the bank, its carried operands are one slot + the hidden
+            # state (small join copy), while the always-on ConvGRU forward
+            # would cost more than the copy on non-drop frames (round-4
+            # advisor). Per-batch selection stays `pick` inside the branch.
             phys_d = bank.phys_of(drop_idx)
             take = lambda arrs: tuple(
                 jax.vmap(lambda a, d: a[d])(arr, phys_d)
                 for arr in arrs)
-            (ck_, cv_), (gh_k_new, gh_v_new) = self._apply(
-                params, VOSModel.compress_evicted_slots, take(bank.k),
-                take(bank.v), gh_k, gh_v, size_2d)
-            sel = over[:, None, None]
-            pick = lambda new, old: jnp.where(sel, new, old)
-            gh_k = membank._map(pick, gh_k_new, gh_k)
-            gh_v = membank._map(pick, gh_v_new, gh_v)
+            k_in, v_in = take(bank.k), take(bank.v)
+
+            def run_gru(ops):
+                k_in, v_in, gh_k, gh_v = ops
+                (ck_, cv_), (gh_k_new, gh_v_new) = self._apply(
+                    params, VOSModel.compress_evicted_slots, k_in, v_in,
+                    gh_k, gh_v, size_2d)
+                sel = over[:, None, None]
+                pick = lambda new, old: jnp.where(sel, new, old)
+                return (ck_, cv_, membank._map(pick, gh_k_new, gh_k),
+                        membank._map(pick, gh_v_new, gh_v))
+
+            def skip_gru(ops):
+                # ck/cv are dead when over is all-False (the compressed
+                # write in evict_frame is predicated on `over`)
+                k_in, v_in, gh_k, gh_v = ops
+                return k_in, v_in, gh_k, gh_v
+
+            ck_, cv_, gh_k, gh_v = jax.lax.cond(
+                jnp.any(over), run_gru, skip_gru, (k_in, v_in, gh_k, gh_v))
             compressed = (ck_, cv_, None)
 
         bank = membank.evict_frame(bank, drop_idx, enabled=over,

@@ -227,7 +227,12 @@ def append_frame(bank: MemoryBank, new_k, new_v, new_id_v,
     # so a growing bank stays physically ordered
     free_rank = jnp.where(bank.pos < 0, t, cap)
     idx = jnp.min(free_rank, axis=-1).astype(jnp.int32)
-    idx = jnp.where(idx >= cap, 0, idx)
+    # degraded mode (capacity invariant broken, no free slot): overwrite
+    # the NEWEST logical slot — after any eviction history physical slot 0
+    # typically holds the protected former/reference frame, so falling
+    # back there would silently corrupt the anchor (round-4 advisor)
+    newest = bank.phys_of(jnp.maximum(bank.length - 1, 0))
+    idx = jnp.where(idx >= cap, newest, idx)
     write = lambda arr, new: _write_slot(arr, new, idx, enabled)
     at_idx = t == idx[:, None]                          # [B, T] one-hot
     en = enabled[:, None]
@@ -236,7 +241,10 @@ def append_frame(bank: MemoryBank, new_k, new_v, new_id_v,
         v=_map(write, bank.v, new_v),
         length=jnp.where(enabled,
                          jnp.minimum(bank.length + 1, cap), bank.length),
-        pos=jnp.where(at_idx & en, bank.length[:, None], bank.pos),
+        # pos = length in the normal free-slot case; clamped so the
+        # degraded overwrite keeps pos in [0, cap)
+        pos=jnp.where(at_idx & en,
+                      jnp.minimum(bank.length, cap - 1)[:, None], bank.pos),
         frame_ids=jnp.where(at_idx & en, frame_idx[:, None],
                             bank.frame_ids),
         attn_ema=jnp.where(at_idx & en, 0.0, bank.attn_ema),

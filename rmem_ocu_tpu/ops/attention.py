@@ -50,7 +50,11 @@ def _maybe_compact_logits(logits, in_dtype):
     standard practice for bf16 attention (flash-attention stores probs
     in the compute dtype). f32 paths are unchanged (exact reference
     parity; the amp reference keeps f32 softmax under autocast, a
-    documented deviation)."""
+    documented deviation). RMEM_BF16_PROBS=0 restores f32 logit/prob
+    storage on bf16 inputs — the escape hatch for A/B-ing the deviation
+    against the reference's autocast numerics (round-4 advisor)."""
+    if os.environ.get('RMEM_BF16_PROBS', '1') in ('0', 'false', 'False'):
+        return logits
     if in_dtype == jnp.bfloat16 and logits.dtype != in_dtype:
         return logits.astype(jnp.bfloat16)
     return logits
@@ -67,7 +71,10 @@ def _qk_out_dtype(in_dtype):
     compacting afterwards costs a full extra read+write pass over the
     logits (a 271 MB convert at 8-stream eval shapes — round-4 HLO
     census). Exactly the `_maybe_compact_logits` rounding, applied at
-    the producer. f32 paths keep f32 storage."""
+    the producer. f32 paths keep f32 storage; RMEM_BF16_PROBS=0 restores
+    f32 emission on bf16 inputs too (see _maybe_compact_logits)."""
+    if os.environ.get('RMEM_BF16_PROBS', '1') in ('0', 'false', 'False'):
+        return jnp.float32
     return jnp.bfloat16 if in_dtype == jnp.bfloat16 else jnp.float32
 
 

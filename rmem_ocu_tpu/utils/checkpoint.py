@@ -55,17 +55,36 @@ def save_checkpoint(root: str, step: int, state, max_keep: int = 8,
                     os.path.join(_ckpt_dir(dest_root), f'step_{s}'),
                     ignore_errors=True)
 
+    err = None
     try:
         _write(root)
     except Exception as e:  # noqa: BLE001 — any write failure falls back
+        err = e
+
+    failed = err is not None
+    if jax.process_count() > 1:
+        # agree on the destination ACROSS processes before falling back: a
+        # subset-only failure (e.g. rank-0 disk full) must not leave some
+        # processes returned from the primary save while others enter the
+        # collective backup write — that deadlocks the coordinated save
+        # and leaves primary/backup roots divergent (round-4 advisor)
+        import numpy as np
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray([1 if failed else 0], np.int32))
+        failed = bool(np.asarray(flags).sum() > 0)
+
+    if failed:
         backup = backup_root or backup_root_for(root)
         print(f'save_checkpoint: primary write to {root!r} failed '
-              f'({type(e).__name__}: {e}); retrying into {backup!r}')
+              f'({type(err).__name__}: {err}); retrying into {backup!r}')
         # a half-written primary step dir must not shadow the backup copy
-        # at restore time; best-effort removal (may itself be read-only)
-        import shutil
-        shutil.rmtree(os.path.join(_ckpt_dir(root), f'step_{step}'),
-                      ignore_errors=True)
+        # at restore time; best-effort removal on process 0 only (the
+        # checkpoint root is a shared filesystem under multi-host)
+        if jax.process_index() == 0:
+            import shutil
+            shutil.rmtree(os.path.join(_ckpt_dir(root), f'step_{step}'),
+                          ignore_errors=True)
         _write(backup)
 
 

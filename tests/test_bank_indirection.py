@@ -114,3 +114,28 @@ def test_scoring_protects_logical_former_after_reshuffle():
     bank3 = mb.evict_frame(bank2, drop)
     ids = list(np.asarray(bank3.ordered_frame_ids[0]))
     assert ids[0] == 0 and 5 in ids
+
+
+def test_full_bank_append_overwrites_newest_not_anchor():
+    """Degraded mode (capacity invariant broken, no free slot): the append
+    must overwrite the NEWEST logical slot, never physical slot 0 — after
+    an eviction reshuffle, physical slot 0 holds the protected former/
+    reference frame (round-4 advisor finding)."""
+    bank = _new(cap=4)
+    for i in range(4):
+        bank = mb.append_frame(bank, _frame(i), _frame(10 + i), None, i)
+    # reshuffle: evict logical 1, append -> freed physical slot 1 is newest
+    bank = mb.evict_frame(bank, jnp.array([1], jnp.int32))
+    bank = mb.append_frame(bank, _frame(4), _frame(14), None, 4)
+    assert int(bank.length[0]) == 4          # full again
+    np.testing.assert_array_equal(np.asarray(bank.frame_ids[0]),
+                                  [0, 4, 2, 3])
+    # capacity-violating append: must land on the newest logical slot
+    bank = mb.append_frame(bank, _frame(9), _frame(19), None, 9)
+    ids = np.asarray(bank.frame_ids[0])
+    assert ids[0] == 0, 'anchor frame overwritten in degraded mode'
+    np.testing.assert_array_equal(ids, [0, 9, 2, 3])
+    # pos stays a permutation of [0, cap)
+    np.testing.assert_array_equal(np.sort(np.asarray(bank.pos[0])),
+                                  [0, 1, 2, 3])
+    assert float(bank.k[0][0, 1, 0, 0]) == 9.0
