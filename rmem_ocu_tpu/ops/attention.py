@@ -449,8 +449,77 @@ def _skew_bias_to_padded_grid(rel, h: int, w: int, ws: int):
     return r.reshape(b, nh, h * w, (h + ws - 1) * (w + ws - 1))
 
 
+@functools.lru_cache(maxsize=32)
+def _banded_maps(h: int, w: int, max_dis: int, br: int):
+    """Constant tables for the 2D block-banded windowed attention.
+
+    Queries are tiled into br x br blocks; block (iy, ix) attends only its
+    key BAND — padded-grid rows [iy*br, iy*br + br + 2*max_dis) x cols
+    [ix*br, ...) — which covers every query's full window, so a softmax
+    over the band with out-of-window keys masked is numerically identical
+    to the dense padded-grid form (the extra keys get exp(-1e8-max) = 0.0
+    exactly). Returns:
+      A [br, ws, band]  one-hot: band row  = local qy + dy
+      B [br, ws, band]  one-hot: band col  = local qx + dx
+      mask [nby*nbx, br*br, band*band] bool: in-window AND in-image AND
+           real (non-padded) query/key — the block-position-dependent part
+    """
+    ws = 2 * max_dis + 1
+    band = br + 2 * max_dis
+    nby, nbx = -(-h // br), -(-w // br)
+    lq = np.arange(br)
+    dd = np.arange(ws)
+    A = (np.arange(band)[None, None, :] ==
+         lq[:, None, None] + dd[None, :, None])
+    # window membership per (local q, local k) — band origin == block
+    # origin in padded coords, so offsets are block-independent
+    lk = np.arange(band)
+    iny = (lk[None, :] - lq[:, None] >= 0) & (lk[None, :] - lq[:, None] < ws)
+    masks = []
+    for iy in range(nby):
+        for ix in range(nbx):
+            # image coords of band rows/cols: padded row iy*br + m maps to
+            # image row iy*br + m - max_dis
+            my = iy * br + lk - max_dis
+            mx = ix * br + lk - max_dis
+            ky_ok = (my >= 0) & (my < h)
+            kx_ok = (mx >= 0) & (mx < w)
+            qy_ok = iy * br + lq < h
+            qx_ok = ix * br + lq < w
+            myx = (iny[:, None, :, None] & iny[None, :, None, :]
+                   & (ky_ok[None, None, :, None] & kx_ok[None, None, None, :])
+                   & (qy_ok[:, None, None, None] & qx_ok[None, :, None, None]))
+            masks.append(myx.reshape(br * br, band * band))
+    # the same one-hot serves both axes (band idx = local q + d)
+    return A.astype(np.float32), np.stack(masks)
+
+
+def _band_blocks(x2d, br: int, max_dis: int, nby: int, nbx: int):
+    """[B, Hp2, Wp2, C] padded grid -> [B, nby*nbx, band*band, C] key
+    bands via static slices (trivial layouts; no gather/scatter)."""
+    band = br + 2 * max_dis
+    ys = jnp.stack([x2d[:, iy * br: iy * br + band] for iy in range(nby)],
+                   axis=1)                       # [B, nby, band, Wp2, C]
+    xs = jnp.stack([ys[:, :, :, ix * br: ix * br + band]
+                    for ix in range(nbx)], axis=2)
+    b = x2d.shape[0]
+    return xs.reshape(b, nby * nbx, band * band, x2d.shape[-1])
+
+
 class LocalGatedPropagation(nn.Module):
-    """15x15 windowed gated attention (reference: attention.py:220-413)."""
+    """15x15 windowed gated attention (reference: attention.py:220-413).
+
+    Two numerically identical attention cores (RMEM_LOCAL_ATTN):
+    - 'dense' (default): one attention over the padded key grid
+      ([HW, Hp*Wp] logits with a constant window mask), bf16 bias chain
+      and probs storage on bf16 inputs.
+    - 'banded': 8x8 query blocks x (8+14)^2 key bands — shrinks every
+      probs-sized tensor and the bias-scatter operands ~4x, but measured
+      SLOWER at the train recipe because the band stacking must copy the
+      [HpWp, 1024] value tensor ~4x (see _banded_core and the selection
+      comment in __call__); kept as the documented negative result and
+      the numerics blueprint for a future fused kernel.
+    """
     d_qk: int
     d_vu: int
     num_heads: int
@@ -506,10 +575,45 @@ class LocalGatedPropagation(nn.Module):
         qg = q.reshape(b, h * w, self.num_heads, d_att)
         rel = jnp.einsum('blhd,hdj->bhlj', qg, rel_w) + rel_b[None, :, None]
 
+        # RMEM_LOCAL_ATTN=banded selects the 2D block-banded core — a
+        # measured NEGATIVE result on this op, kept for A/B and as the
+        # record of why: at the recipe shape the band stacking must COPY
+        # the [HpWp, 1024] value tensor ~4x (concatenate copies alone
+        # ~60 ms/step, round-5 census: banded 277 ms vs dense 213 ms of
+        # an 849 ms step), which outweighs the 4x shrink of every
+        # probs-sized tensor. Only a fused kernel that re-reads value
+        # bands without materializing them can beat the dense form here.
+        if os.environ.get('RMEM_LOCAL_ATTN', 'dense') == 'banded':
+            out = self._banded_core(q, k, v, rel, size_2d, d_att,
+                                    deterministic)
+        else:
+            out = self._dense_core(q, k, v, rel, size_2d, d_att,
+                                   deterministic)
+        out = out * u
+        out = DWConv2d(expand_d_vu, name='dw_conv')(out, size_2d,
+                                                    deterministic)
+        out = nn.Dense(self.d_vu, name='projection')(out)
+        return out, None
+
+    def _maybe_drop_probs(self, probs, deterministic):
+        if self.dropout > 0.0 and not deterministic:
+            # train-time dropout on the local attention probabilities
+            # (reference attention.py:348)
+            keep = 1.0 - self.dropout
+            probs = probs * jax.random.bernoulli(
+                self.make_rng('dropout'), keep, probs.shape) / keep
+        return probs
+
+    def _dense_core(self, q, k, v, rel, size_2d, d_att, deterministic):
+        """Padded-grid form: [HW, Hp*Wp] logits with a window mask and a
+        scattered bias (kept for A/B — RMEM_LOCAL_ATTN=dense)."""
+        from rmem_ocu_tpu.ops.layers import tokens_to_2d
+        h, w = size_2d
+        ws = 2 * self.max_dis + 1
+        b = q.shape[0]
         mask_np, _ = _local_window_maps(h, w, self.max_dis)
         mask = jnp.asarray(mask_np)
 
-        # pad keys/values on the 2D grid
         pad = [(0, 0), (self.max_dis, self.max_dis),
                (self.max_dis, self.max_dis), (0, 0)]
         k2 = jnp.pad(tokens_to_2d(k, size_2d), pad)
@@ -528,24 +632,100 @@ class LocalGatedPropagation(nn.Module):
         # separable one-hot matmul scatter beats the skew's 6-D transpose
         # copies (~150 us/layer each). RMEM_LOCAL_BIAS=skew keeps the old
         # pad/reshape path for A/B.
+        # (A bf16 bias-scatter chain was A/B'd in round 5 — wall-time
+        # neutral at the train recipe, 849.1 vs 849.5 ms/step, so the f32
+        # chain stays: the cost is the exotic 6-D einsums' layout
+        # assignment, not the dtype width.)
         if os.environ.get('RMEM_LOCAL_BIAS', 'scatter') == 'skew':
             bias = _skew_bias_to_padded_grid(rel, h, w, ws)
         else:
             bias = _scatter_bias_to_padded_grid(rel, h, w, ws)
-        extra = bias + jnp.where(mask, 0.0, NEG_INF)
+        extra = bias + jnp.where(mask, 0.0, NEG_INF).astype(bias.dtype)
         logits = logits + extra.astype(logits.dtype)
         logits = _maybe_compact_logits(logits, q.dtype)
         probs = _softmax_f32(logits, axis=-1)
-        if self.dropout > 0.0 and not deterministic:
-            # train-time dropout on the local attention probabilities
-            # (reference attention.py:348)
-            keep = 1.0 - self.dropout
-            probs = probs * jax.random.bernoulli(
-                self.make_rng('dropout'), keep, probs.shape) / keep
+        # bf16 probs storage (same policy as the bank read): the f32
+        # probs would otherwise materialize ahead of the PV cast
+        probs = _maybe_compact_logits(probs, q.dtype)
+        probs = self._maybe_drop_probs(probs, deterministic)
         out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(vh.dtype), vh,
                          preferred_element_type=jnp.float32).astype(v.dtype)
-        out = merge_heads(out) * u
-        out = DWConv2d(expand_d_vu, name='dw_conv')(out, size_2d,
-                                                    deterministic)
-        out = nn.Dense(self.d_vu, name='projection')(out)
-        return out, None
+        return merge_heads(out)
+
+    def _banded_core(self, q, k, v, rel, size_2d, d_att, deterministic,
+                     br: int = 8):
+        """2D block-banded form (default; see class docstring).
+
+        Queries tile into br x br blocks; each block attends its
+        (br+2*max_dis)^2 key band, which contains every query's full
+        window, so the band softmax with out-of-window keys at -1e8 is
+        numerically identical to the dense padded-grid form.
+        """
+        from rmem_ocu_tpu.ops.layers import tokens_to_2d
+        h, w = size_2d
+        md, ws = self.max_dis, 2 * self.max_dis + 1
+        nh = self.num_heads
+        b = q.shape[0]
+        nby, nbx = -(-h // br), -(-w // br)
+        nb, bq = nby * nbx, br * br
+        band = br + 2 * md
+        hq, wq = nby * br, nbx * br
+
+        A_np, mask_np = _banded_maps(h, w, md, br)
+        A = jnp.asarray(A_np)                         # [br, ws, band] f32
+        mask = jnp.asarray(mask_np)                   # [nb, bq, band^2]
+
+        def blk_q(x):
+            """[B, HW, C] query-grid tokens -> [B, nb, bq, C] blocks."""
+            c = x.shape[-1]
+            x = jnp.pad(tokens_to_2d(x, size_2d),
+                        [(0, 0), (0, hq - h), (0, wq - w), (0, 0)])
+            x = x.reshape(b, nby, br, nbx, br, c).transpose(0, 1, 3, 2, 4, 5)
+            return x.reshape(b, nb, bq, c)
+
+        def heads(x, last):
+            """[B, nb, L, H*D] -> [B, H, nb, L, D]."""
+            return x.reshape(*x.shape[:-1], nh, last).transpose(0, 3, 1, 2, 4)
+
+        # key/value bands from the padded grid (right/bottom padded to the
+        # block-rounded query extent so every band is in range)
+        pad2 = [(0, 0), (md, hq - h + md), (md, wq - w + md), (0, 0)]
+        kp = jnp.pad(tokens_to_2d(k, size_2d), pad2)
+        vp = jnp.pad(tokens_to_2d(v, size_2d), pad2)
+        kb = _band_blocks(kp, br, md, nby, nbx)       # [B, nb, band^2, Ck]
+        vb = _band_blocks(vp, br, md, nby, nbx)
+
+        qh = heads(blk_q(q), d_att) * (d_att ** -0.5)
+        kh = heads(kb, d_att)
+        vh = heads(vb, vb.shape[-1] // nh)
+        logits = jnp.einsum('bhnqd,bhnkd->bhnqk', qh, kh,
+                            preferred_element_type=_qk_out_dtype(q.dtype))
+
+        # bias: block the per-query [ws^2] window bias, then scatter to the
+        # band with the separable one-hot (band idx = local q + offset; the
+        # same [br, ws, band] table serves both axes because band origin ==
+        # block origin). (B*H*nb) folds into one leading batch axis so the
+        # scatters stay 5-D with trivial layouts.
+        rel_blk = blk_q(rel.transpose(0, 2, 1, 3).reshape(b, h * w, -1))
+        rel_blk = rel_blk.reshape(b, nb, bq, nh, ws * ws)
+        r6 = rel_blk.transpose(0, 3, 1, 2, 4).reshape(
+            b * nh * nb, br, br, ws, ws)
+        r6 = jnp.einsum('zyxde,xek->zyxdk', r6, A)    # dx -> band col
+        r6 = jnp.einsum('zyxdk,ydm->zyxmk', r6, A)    # dy -> band row
+        bias = r6.reshape(b, nh, nb, bq, band * band)
+
+        extra = bias + jnp.where(mask, 0.0, NEG_INF)[None, None]
+        logits = logits + extra.astype(logits.dtype)
+        logits = _maybe_compact_logits(logits, q.dtype)
+        probs = _softmax_f32(logits, axis=-1)
+        probs = _maybe_compact_logits(probs, q.dtype)
+        probs = self._maybe_drop_probs(probs, deterministic)
+        out = jnp.einsum('bhnqk,bhnkd->bhnqd', probs.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+
+        # merge heads + un-block + crop the padded query rows/cols
+        e = out.shape[-1] * nh
+        out = out.transpose(0, 2, 3, 1, 4).reshape(b, nb, bq, e)
+        out = out.reshape(b, nby, nbx, br, br, e).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, hq, wq, e)[:, :h, :w]
+        return out.reshape(b, h * w, e)
