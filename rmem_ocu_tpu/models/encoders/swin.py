@@ -140,7 +140,12 @@ class SwinBlock(nn.Module):
         x = shortcut + x
         y = nn.LayerNorm(epsilon=EPS, name='norm2')(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name='mlp_fc1')(y)
-        y = jax.nn.gelu(y, approximate=False)
+        # exact erf-GELU (reference nn.GELU) on f32; tanh-GELU on the bf16
+        # eval path — its ~1e-3 relative error is an order of magnitude
+        # below bf16 rounding, and the round-5 census shows the encoder's
+        # MLP dot fusions (with the transcendental fused in) are the
+        # largest SwinB frame terms (stage2 mlp 0.72 ms/frame)
+        y = jax.nn.gelu(y, approximate=(y.dtype == jnp.bfloat16))
         y = nn.Dense(self.dim, name='mlp_fc2')(y)
         return x + y
 
