@@ -66,7 +66,12 @@ class GNActDWConv2d(nn.Module):
         x2d = tokens_to_2d(x, size_2d)
         x2d = nn.GroupNorm(num_groups=self.gn_groups, epsilon=EPS,
                            name='gn')(x2d)
-        x2d = jax.nn.gelu(x2d, approximate=False)
+        # exact erf-GELU (reference nn.GELU) on f32 for bit-parity;
+        # tanh-GELU on bf16 — approximation error ~1e-3 relative, an
+        # order of magnitude under bf16 rounding, while XLA expands the
+        # exact erf into the largest elementwise graphs of the frame
+        # (round-5 SwinB census: +13% fps from this swap alone)
+        x2d = jax.nn.gelu(x2d, approximate=(x2d.dtype == jnp.bfloat16))
         x2d = nn.Conv(self.dim, (5, 5), padding=2,
                       feature_group_count=self.dim, use_bias=False,
                       name='conv')(x2d)
