@@ -575,15 +575,26 @@ class LocalGatedPropagation(nn.Module):
         qg = q.reshape(b, h * w, self.num_heads, d_att)
         rel = jnp.einsum('blhd,hdj->bhlj', qg, rel_w) + rel_b[None, :, None]
 
-        # RMEM_LOCAL_ATTN=banded selects the 2D block-banded core — a
-        # measured NEGATIVE result on this op, kept for A/B and as the
-        # record of why: at the recipe shape the band stacking must COPY
-        # the [HpWp, 1024] value tensor ~4x (concatenate copies alone
-        # ~60 ms/step, round-5 census: banded 277 ms vs dense 213 ms of
-        # an 849 ms step), which outweighs the 4x shrink of every
-        # probs-sized tensor. Only a fused kernel that re-reads value
-        # bands without materializing them can beat the dense form here.
-        if os.environ.get('RMEM_LOCAL_ATTN', 'dense') == 'banded':
+        # Core selection (RMEM_LOCAL_ATTN=dense|banded|pallas overrides):
+        # - 'pallas' (auto-default on real tpu, 1-head eval): the fused
+        #   row-band kernel — padded k/v stay VMEM-resident, band
+        #   logits/probs never touch HBM (ops/pallas/local_attn.py).
+        # - 'dense' (auto-default otherwise): the padded-grid XLA form.
+        # - 'banded': the 2D block-banded XLA core — a measured NEGATIVE
+        #   result kept for A/B and as the record of why: XLA must COPY
+        #   the [HpWp, 1024] value tensor ~4x to build bands
+        #   (concatenate copies ~60 ms/step; banded 897.5 vs dense 849.5
+        #   ms/step at the train recipe), which outweighs the 4x shrink
+        #   of every probs-sized tensor — exactly what the Pallas kernel
+        #   avoids by slicing bands from the resident grid.
+        mode = os.environ.get('RMEM_LOCAL_ATTN', 'auto')
+        if mode == 'auto':
+            mode = ('pallas' if (self.num_heads == 1 and deterministic
+                                 and pallas_memory_read_enabled())
+                    else 'dense')
+        if mode == 'pallas' and self.num_heads == 1 and deterministic:
+            out = self._pallas_core(q, k, v, rel, size_2d, d_att)
+        elif mode == 'banded':
             out = self._banded_core(q, k, v, rel, size_2d, d_att,
                                     deterministic)
         else:
@@ -651,6 +662,56 @@ class LocalGatedPropagation(nn.Module):
         out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(vh.dtype), vh,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         return merge_heads(out)
+
+    def _pallas_core(self, q, k, v, rel, size_2d, d_att, br: int = 8):
+        """Fused row-band kernel (eval forward, num_heads == 1): see
+        ops/pallas/local_attn.py. The bias is scattered OUTSIDE on the
+        band layout (4x smaller than the dense padded grid) with the
+        window/in-image mask folded in; in-kernel softmax over the band
+        is numerically identical to the dense form."""
+        from rmem_ocu_tpu.ops.layers import tokens_to_2d
+        from rmem_ocu_tpu.ops.pallas.local_attn import (
+            _band_mask_np, local_window_attention)
+        h, w = size_2d
+        md, ws = self.max_dis, 2 * self.max_dis + 1
+        b = q.shape[0]
+        nby = -(-h // br)
+        hq = nby * br
+        wp = w + 2 * md
+        band = br + 2 * md
+
+        pad2 = [(0, 0), (md, hq - h + md), (md, md), (0, 0)]
+        kp = jnp.pad(tokens_to_2d(k, size_2d), pad2)
+        vp = jnp.pad(tokens_to_2d(v, size_2d), pad2)
+        kp = kp.reshape(b, (hq + 2 * md) * wp, -1)
+        vp = vp.reshape(b, (hq + 2 * md) * wp, -1)
+        q2 = jnp.pad(tokens_to_2d(q, size_2d),
+                     [(0, 0), (0, hq - h), (0, 0), (0, 0)])
+        qf = q2.reshape(b, hq * w, -1) * (d_att ** -0.5)
+
+        # bias scatter on the ROW-BAND layout: x via the dense one-hot
+        # (kxp = qx + dx), y per block via band row = local r + dy
+        A_np, _ = _banded_maps(h, w, md, br)          # [br, ws, band]
+        B_np = (np.arange(wp)[None, None, :]
+                == np.arange(w)[:, None, None]
+                + np.arange(ws)[None, :, None])
+        A = jnp.asarray(A_np, jnp.float32)
+        B = jnp.asarray(B_np, jnp.float32)
+        rel2 = jnp.pad(rel[:, 0].reshape(b, h, w, ws * ws),
+                       [(0, 0), (0, hq - h), (0, 0), (0, 0)])
+        r6 = rel2.reshape(b, hq, w, ws, ws).astype(jnp.float32)
+        r6 = jnp.einsum('byxde,xek->byxdk', r6, B)    # dx -> padded col
+        r6 = r6.reshape(b, nby, br, w, ws, wp)
+        r6 = jnp.einsum('bnrxdk,rdm->bnrxmk', r6, A)  # dy -> band row
+        bias_band = (r6.reshape(b, nby, br * w, band * wp)
+                     + jnp.asarray(_band_mask_np(h, w, md, br))[None])
+
+        out = local_window_attention(qf, kp, vp, bias_band, h, w, md,
+                                     br=br,
+                                     precise=(q.dtype == jnp.float32))
+        e = out.shape[-1]
+        out = out.reshape(b, hq, w, e)[:, :h]
+        return out.reshape(b, h * w, e)
 
     def _banded_core(self, q, k, v, rel, size_2d, d_att, deterministic,
                      br: int = 8):

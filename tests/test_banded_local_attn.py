@@ -67,3 +67,29 @@ def test_banded_grads_match_dense():
                                rtol=1e-4, atol=1e-4)
     jax.tree.map(lambda a, bb: np.testing.assert_allclose(
         np.asarray(bb), np.asarray(a), rtol=1e-4, atol=1e-4), gd_p, gb_p)
+
+
+@pytest.mark.parametrize('h,w', [(6, 6), (11, 14), (23, 40)])
+def test_pallas_core_matches_dense(h, w):
+    """The fused row-band Pallas kernel (interpret mode off-TPU) must
+    match the dense padded-grid core: same in-window key set, f32
+    softmax, identical bias values scattered on the band layout."""
+    rng = np.random.RandomState(h + w)
+    b, d_qk, d_vu = 1, 32, 16
+    mod = LocalGatedPropagation(d_qk=d_qk, d_vu=d_vu, num_heads=1,
+                                max_dis=7, d_att=16, use_linear=True)
+    q = jnp.asarray(rng.randn(b, h * w, d_qk), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h * w, d_vu), jnp.float32)
+    u = jnp.asarray(rng.randn(b, h * w, d_vu), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), q, q, v, u, (h, w))
+
+    os.environ['RMEM_LOCAL_ATTN'] = 'dense'
+    try:
+        dense, _ = mod.apply(params, q, q, v, u, (h, w))
+        os.environ['RMEM_LOCAL_ATTN'] = 'pallas'
+        fused, _ = mod.apply(params, q, q, v, u, (h, w))
+    finally:
+        os.environ.pop('RMEM_LOCAL_ATTN', None)
+
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
